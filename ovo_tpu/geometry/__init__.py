@@ -1,0 +1,173 @@
+"""Projective-association geometry, as jit-friendly fixed-shape device ops.
+
+Behavior parity with /root/reference/ovo/utils/geometry_utils.py, redesigned
+for XLA: instead of boolean indexing (dynamic shapes), every function operates
+on full padded point buffers and returns validity masks. A single fused
+program per keyframe does frustum cull -> projection -> depth match with no
+host round-trips.
+
+Conventions (identical to the reference):
+  - poses are 4x4 camera-to-world (c2w); w2c = inv(c2w)
+  - pinhole intrinsics K (3x3); pixel = round(K @ p_cam), u = x-col, v = y-row
+  - a 3D point matches a pixel iff |z_cam - depth[v, u]| < th and depth > 0
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_CORNER_GRID = jnp.array(
+    [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [1.0, 1.0, 0.0],
+     [0.0, 0.0, 1.0], [1.0, 0.0, 1.0], [0.0, 1.0, 1.0], [1.0, 1.0, 1.0]]
+)
+
+
+def transform_points(T: Array, points: Array) -> Array:
+    """Apply a 4x4 rigid transform to (N,3) points."""
+    return points @ T[:3, :3].T + T[:3, 3]
+
+
+def compute_camera_frustum_corners(depth: Array, c2w: Array, K: Array) -> Array:
+    """8 world-space frustum corner points from depth extremes
+    (geometry_utils.py:99-129). Zero-depth pixels are excluded from the
+    min/max like the reference's ``depth_map[depth_map > 0]``."""
+    h, w = depth.shape
+    valid = depth > 0
+    big = jnp.asarray(jnp.inf, depth.dtype)
+    min_d = jnp.min(jnp.where(valid, depth, big))
+    max_d = jnp.max(jnp.where(valid, depth, -big))
+    # corners in pixel space: (u, v) in {0, w} x {0, h} at min/max depth
+    u = _CORNER_GRID[:, 0] * w
+    v = _CORNER_GRID[:, 1] * h
+    z = jnp.where(_CORNER_GRID[:, 2] > 0, max_d, min_d)
+    x = (u - K[0, 2]) * z / K[0, 0]
+    y = (v - K[1, 2]) * z / K[1, 1]
+    cam = jnp.stack([x, y, z], axis=1)
+    return transform_points(c2w, cam)
+
+
+def compute_camera_frustum_planes(corners: Array) -> Array:
+    """Six (a,b,c,d) plane equations; points inside satisfy ax+by+cz+d <= 0
+    (geometry_utils.py:163-202)."""
+    c = corners
+    normals = jnp.stack([
+        jnp.cross(c[2] - c[0], c[1] - c[0]),  # near
+        jnp.cross(c[6] - c[4], c[5] - c[4]),  # far
+        jnp.cross(c[4] - c[0], c[2] - c[0]),  # left
+        jnp.cross(c[7] - c[3], c[1] - c[3]),  # right
+        jnp.cross(c[5] - c[1], c[3] - c[1]),  # top
+        jnp.cross(c[6] - c[2], c[0] - c[2]),  # bottom
+    ])
+    anchors = c[jnp.array([0, 4, 0, 3, 1, 2])]
+    d = -jnp.sum(normals * anchors, axis=1)
+    return jnp.concatenate([normals, d[:, None]], axis=1)
+
+
+def points_in_frustum(points: Array, corners: Array,
+                      valid: Array | None = None) -> Array:
+    """Boolean mask of points inside the frustum: AABB test AND the 6-plane
+    test, fully vectorized (replaces the reference's broad/narrow two-phase,
+    geometry_utils.py:252-277 -- on TPU evaluating both masks over the full
+    padded buffer is cheaper than compacting between phases)."""
+    lo = jnp.min(corners, axis=0)
+    hi = jnp.max(corners, axis=0)
+    in_aabb = jnp.all((points >= lo) & (points <= hi), axis=1)
+    planes = compute_camera_frustum_planes(corners)
+    signed = points @ planes[:, :3].T + planes[:, 3]
+    in_planes = jnp.all(signed <= 0, axis=1)
+    mask = in_aabb & in_planes
+    if valid is not None:
+        mask = mask & valid
+    return mask
+
+
+def project_points(points: Array, K: Array, w2c: Array | None = None
+                   ) -> Tuple[Array, Array]:
+    """Project (N,3) world/camera points to rounded integer pixels.
+    Returns ((N,2) int32 [u, v], (N,) camera-space z)."""
+    if w2c is not None:
+        points = transform_points(w2c, points)
+    z = points[:, 2]
+    safe_z = jnp.where(z == 0, 1.0, z)
+    u = K[0, 0] * points[:, 0] / safe_z + K[0, 2]
+    v = K[1, 1] * points[:, 1] / safe_z + K[1, 2]
+    uv = jnp.stack([jnp.round(u), jnp.round(v)], axis=1).astype(jnp.int32)
+    return uv, z
+
+
+def match_points_to_depth(depth: Array, w2c: Array, points: Array, K: Array,
+                          th_dist: float, valid: Array | None = None
+                          ) -> Tuple[Array, Array]:
+    """Fixed-shape equivalent of match_3d_points_to_2d_pixels
+    (geometry_utils.py:46-89).
+
+    Returns (match_mask (N,), uv (N,2) int32). ``uv`` is only meaningful
+    where ``match_mask`` is True (it is clamped in-bounds everywhere so the
+    caller can gather without dynamic shapes).
+    """
+    h, w = depth.shape
+    uv, z = project_points(points, K, w2c)
+    in_plane = ((uv[:, 0] >= 0) & (uv[:, 0] < w) &
+                (uv[:, 1] >= 0) & (uv[:, 1] < h))
+    uc = jnp.clip(uv[:, 0], 0, w - 1)
+    vc = jnp.clip(uv[:, 1], 0, h - 1)
+    d = depth[vc, uc]
+    matched = in_plane & (jnp.abs(z - d) < th_dist) & (d != 0)
+    if valid is not None:
+        matched = matched & valid
+    return matched, jnp.stack([uc, vc], axis=1)
+
+
+def depth_filter(depth: Array, k_size: int = 7, sigma: float = 2.5,
+                 th: float = 0.05) -> Array:
+    """High-frequency depth rejection (geometry_utils.py:92-96): pixels whose
+    deviation from a gaussian-blurred copy exceeds ``th`` are set to -1 so the
+    depth-match test can never pass there."""
+    low = gaussian_blur_2d(depth, k_size, sigma)
+    high = jnp.abs(depth - low)
+    return jnp.where(high > th, -1.0, depth)
+
+
+def gaussian_blur_2d(img: Array, k_size: int, sigma: float) -> Array:
+    """Separable gaussian blur with reflect padding (matches torchvision's
+    gaussian_blur used by the reference)."""
+    half = (k_size - 1) / 2
+    x = jnp.linspace(-half, half, k_size)
+    kernel = jnp.exp(-0.5 * (x / sigma) ** 2)
+    kernel = (kernel / kernel.sum()).astype(img.dtype)
+    pad = k_size // 2
+    out = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
+    out = jax.vmap(lambda col: jnp.convolve(col, kernel, mode="valid"),
+                   in_axes=1, out_axes=1)(out)
+    out = jnp.pad(out, ((0, 0), (pad, pad)), mode="reflect")
+    out = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid"))(out)
+    return out
+
+
+def unproject_depth(depth: Array, K: Array, c2w: Array) -> Array:
+    """Unproject every pixel of a depth map to world space -> (H*W, 3).
+    Callers combine with their own validity mask (depth>0, dedup, ...)."""
+    h, w = depth.shape
+    v, u = jnp.meshgrid(jnp.arange(h, dtype=depth.dtype),
+                        jnp.arange(w, dtype=depth.dtype), indexing="ij")
+    x = (u - K[0, 2]) * depth / K[0, 0]
+    y = (v - K[1, 2]) * depth / K[1, 1]
+    cam = jnp.stack([x, y, depth], axis=-1).reshape(-1, 3)
+    return transform_points(c2w, cam)
+
+
+def max_pool_erode(mask: Array, k_size: int) -> Array:
+    """~maxpool(~mask): erode a boolean "new pixel" mask so isolated new
+    pixels next to matched ones are suppressed (vanilla_mapper.py:26-31)."""
+    if k_size <= 1:
+        return mask
+    pad = k_size // 2
+    inv = (~mask).astype(jnp.float32)[None, :, :, None]
+    pooled = jax.lax.reduce_window(
+        inv, -jnp.inf, jax.lax.max, (1, k_size, k_size, 1), (1, 1, 1, 1),
+        [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    return ~(pooled[0, :, :, 0] > 0)
