@@ -27,8 +27,15 @@ _CORNER_GRID = jnp.array(
 
 
 def transform_points(T: Array, points: Array) -> Array:
-    """Apply a 4x4 rigid transform to (N,3) points."""
-    return points @ T[:3, :3].T + T[:3, 3]
+    """Apply a 4x4 rigid transform to (N,3) points.
+
+    Written as broadcasted elementwise ops, not a matmul: JAX's default
+    matmul precision on TPU is bfloat16-grade, which is far too coarse for
+    metric geometry (a 1cm error at 3m breaks the 3cm depth-match gate)."""
+    R, t = T[:3, :3], T[:3, 3]
+    out = (points[:, 0:1] * R[:, 0] + points[:, 1:2] * R[:, 1]
+           + points[:, 2:3] * R[:, 2] + t)
+    return out
 
 
 def compute_camera_frustum_corners(depth: Array, c2w: Array, K: Array) -> Array:
@@ -77,7 +84,8 @@ def points_in_frustum(points: Array, corners: Array,
     hi = jnp.max(corners, axis=0)
     in_aabb = jnp.all((points >= lo) & (points <= hi), axis=1)
     planes = compute_camera_frustum_planes(corners)
-    signed = points @ planes[:, :3].T + planes[:, 3]
+    signed = (points[:, 0:1] * planes[:, 0] + points[:, 1:2] * planes[:, 1]
+              + points[:, 2:3] * planes[:, 2] + planes[:, 3])
     in_planes = jnp.all(signed <= 0, axis=1)
     mask = in_aabb & in_planes
     if valid is not None:
@@ -140,12 +148,18 @@ def gaussian_blur_2d(img: Array, k_size: int, sigma: float) -> Array:
     kernel = jnp.exp(-0.5 * (x / sigma) ** 2)
     kernel = (kernel / kernel.sum()).astype(img.dtype)
     pad = k_size // 2
-    out = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
-    out = jax.vmap(lambda col: jnp.convolve(col, kernel, mode="valid"),
-                   in_axes=1, out_axes=1)(out)
-    out = jnp.pad(out, ((0, 0), (pad, pad)), mode="reflect")
-    out = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid"))(out)
-    return out
+
+    def conv_axis(arr: Array, axis: int) -> Array:
+        # explicit shift-and-add (exact f32; jnp.convolve may downcast)
+        widths = [(pad, pad) if a == axis else (0, 0) for a in range(arr.ndim)]
+        padded = jnp.pad(arr, widths, mode="reflect")
+        n = arr.shape[axis]
+        out = jnp.zeros_like(arr)
+        for i in range(k_size):
+            out = out + kernel[i] * jax.lax.slice_in_dim(padded, i, i + n, axis=axis)
+        return out
+
+    return conv_axis(conv_axis(img, 0), 1)
 
 
 def unproject_depth(depth: Array, K: Array, c2w: Array) -> Array:
