@@ -58,19 +58,23 @@ def compute_camera_frustum_corners(depth: Array, c2w: Array, K: Array) -> Array:
 
 
 def compute_camera_frustum_planes(corners: Array) -> Array:
-    """Six (a,b,c,d) plane equations; points inside satisfy ax+by+cz+d <= 0
-    (geometry_utils.py:163-202)."""
+    """Six (a,b,c,d) plane equations; points inside satisfy ax+by+cz+d <= 0.
+
+    EXACT replica of the reference's construction (geometry_utils.py:163-202)
+    including its quirk: plane i is anchored at corners[i] (``D[i] =
+    -dot(n_i, corners[i])``), which makes the "far" plane a duplicate of the
+    near constraint -- the actual far bound comes from the AABB broad phase.
+    Association parity requires the same culling region, so we keep it."""
     c = corners
     normals = jnp.stack([
-        jnp.cross(c[2] - c[0], c[1] - c[0]),  # near
-        jnp.cross(c[6] - c[4], c[5] - c[4]),  # far
-        jnp.cross(c[4] - c[0], c[2] - c[0]),  # left
-        jnp.cross(c[7] - c[3], c[1] - c[3]),  # right
-        jnp.cross(c[5] - c[1], c[3] - c[1]),  # top
-        jnp.cross(c[6] - c[2], c[0] - c[2]),  # bottom
+        jnp.cross(c[2] - c[0], c[1] - c[0]),
+        jnp.cross(c[6] - c[4], c[5] - c[4]),
+        jnp.cross(c[4] - c[0], c[2] - c[0]),
+        jnp.cross(c[7] - c[3], c[1] - c[3]),
+        jnp.cross(c[5] - c[1], c[3] - c[1]),
+        jnp.cross(c[6] - c[2], c[0] - c[2]),
     ])
-    anchors = c[jnp.array([0, 4, 0, 3, 1, 2])]
-    d = -jnp.sum(normals * anchors, axis=1)
+    d = -jnp.sum(normals * c[:6], axis=1)
     return jnp.concatenate([normals, d[:, None]], axis=1)
 
 

@@ -1,0 +1,172 @@
+"""The per-keyframe instance association step, as ONE jitted device program.
+
+Reference behavior: OVO._match_and_track_instances + _track_objects +
+_fuse_masks_with_same_ins_id (/root/reference/ovo/entities/ovo.py:182-324).
+The reference runs a Python loop over masks with ``.item()`` host syncs per
+mask; here the whole step is data-parallel XLA:
+
+  frustum cull -> project map points -> depth-match -> per-mask majority vote
+  (2D scatter-add vote matrix over the instance id space; argmax tie-break ==
+  torch.mode's lowest-value rule) -> new-instance minting by prefix-sum ->
+  point id write-back -> per-instance mask OR-fusion (segment scatter-max)
+  -> top-k keyframe update.
+
+No host round-trips, no dynamic shapes: masks are padded to ``M`` slots with
+validity flags, instances live in a static id space of ``K``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import geometry as geo
+from . import instances as inst
+from .instances import InstanceStore
+from .map_state import MapState
+
+Array = jax.Array
+
+
+class KeyframeMatch(NamedTuple):
+    """Per-keyframe association output (padded to M mask slots)."""
+    ins_ids: Array     # (M,) i32 instance id per kept slot, -1 = invalid
+    fused_maps: Array  # (M, H, W) bool OR-fused binary masks
+    keep: Array        # (M,) bool slot kept after top-k view filtering
+    areas: Array       # (M,) i32 mask area used for top-k bookkeeping
+    n_new: Array       # () i32 instances minted this keyframe
+    n_matched: Array   # () i32 3D points matched to pixels this keyframe
+    n_dropped_masks: Array  # () i32 masks lost to instance-capacity overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("match_distance_th", "track_th", "use_depth_filter",
+                     "unbounded_top_k", "rgb_depth_ratio"))
+def associate_keyframe(
+    map_state: MapState,
+    store: InstanceStore,
+    seg_map: Array,        # (Hr, Wr) i32 in [-1, M)
+    binary_maps: Array,    # (M, Hr, Wr) bool
+    mask_valid: Array,     # (M,) bool
+    depth: Array,          # (h, w) f32
+    c2w: Array,            # (4, 4)
+    K: Array,              # (3, 3) depth-resolution intrinsics
+    kf_id: Array,          # () i32
+    *,
+    match_distance_th: float = 0.05,
+    track_th: int = 100,
+    use_depth_filter: bool = True,
+    unbounded_top_k: bool = True,
+    rgb_depth_ratio: Tuple[float, float, int] | None = None,
+) -> Tuple[MapState, InstanceStore, KeyframeMatch]:
+    M = binary_maps.shape[0]
+    Kcap = store.capacity
+    points = map_state.points
+    obj = map_state.obj_ids
+
+    # ---- geometry: cull + project + depth match (ovo.py:204-222) ----
+    corners = geo.compute_camera_frustum_corners(depth, c2w, K)
+    in_frustum = geo.points_in_frustum(points, corners,
+                                       valid=map_state.valid_mask())
+    depth_m = geo.depth_filter(depth) if use_depth_filter else depth
+    matched, uv = geo.match_points_to_depth(
+        depth_m, jnp.linalg.inv(c2w), points, K, match_distance_th,
+        valid=in_frustum)
+
+    # RGB/depth resolution remap (ovo.py:218-221): depth-res pixel ->
+    # RGB-res pixel of the (higher-resolution) segmentation map.
+    u, v = uv[:, 0], uv[:, 1]
+    if rgb_depth_ratio is not None:
+        r_h, r_w, crop_edge = rgb_depth_ratio
+        u = ((u + crop_edge).astype(jnp.float32) * r_w).astype(jnp.int32)
+        v = ((v + crop_edge).astype(jnp.float32) * r_h).astype(jnp.int32)
+    Hr, Wr = seg_map.shape
+    u = jnp.clip(u, 0, Wr - 1)
+    v = jnp.clip(v, 0, Hr - 1)
+    seg = jnp.where(matched, seg_map[v, u], -1)
+    seg = jnp.where((seg >= 0) & (seg < M) & mask_valid[jnp.clip(seg, 0, M - 1)],
+                    seg, -1)
+
+    # ---- per-mask vote counts (replaces the _track_objects loop) ----
+    seg_row = jnp.where(seg >= 0, seg, M)  # M = dropped
+    ones = jnp.ones_like(seg_row)
+    total = jnp.zeros((M,), jnp.int32).at[seg_row].add(ones, mode="drop")
+    assigned = obj >= 0
+    assigned_cnt = jnp.zeros((M,), jnp.int32).at[seg_row].add(
+        (assigned & (seg >= 0)).astype(jnp.int32), mode="drop")
+    unassigned_cnt = total - assigned_cnt
+
+    vote_col = jnp.where(assigned & (seg >= 0), jnp.clip(obj, 0, Kcap - 1), Kcap)
+    votes = jnp.zeros((M, Kcap), jnp.int32).at[seg_row, vote_col].add(
+        1, mode="drop")
+    mode_id = jnp.argmax(votes, axis=1).astype(jnp.int32)  # ties -> lowest id
+
+    # ---- decide each mask's instance (ovo.py:255-280) ----
+    observed = mask_valid & (total > track_th)
+    case_track = observed & (assigned_cnt > track_th)
+    case_new = observed & ~case_track & (unassigned_cnt > track_th)
+    new_rank = jnp.cumsum(case_new.astype(jnp.int32)) - 1
+    new_id = store.next_id + new_rank
+    cap_ok = new_id < Kcap
+    dropped = jnp.sum((case_new & ~cap_ok).astype(jnp.int32))
+    case_new = case_new & cap_ok
+    ins_of_mask = jnp.where(case_track, mode_id,
+                            jnp.where(case_new, new_id, -1)).astype(jnp.int32)
+    n_new = jnp.sum(case_new.astype(jnp.int32))
+
+    # ---- write instance ids back to unassigned matched points ----
+    point_ins = jnp.where(seg >= 0, ins_of_mask[jnp.clip(seg, 0, M - 1)], -1)
+    update = (~assigned) & (point_ins >= 0)
+    new_obj = jnp.where(update, point_ins, obj)
+    map_state = map_state._replace(obj_ids=new_obj)
+
+    store = inst.mint_instances(store, n_new)
+
+    # ---- fuse masks sharing an instance (ovo.py:284-324) ----
+    has_ins = ins_of_mask >= 0
+    same = (ins_of_mask[:, None] == ins_of_mask[None, :]) & has_ins[:, None] \
+        & has_ins[None, :]
+    first_idx = jnp.argmax(same, axis=1).astype(jnp.int32)  # min slot w/ same id
+    keep_slot = has_ins & (first_idx == jnp.arange(M))
+    group_size = jnp.sum(same, axis=1)
+
+    # OR-fuse binary maps into the first slot of each group via scatter-max
+    seg_dest = jnp.where(has_ins, first_idx, M)
+    flat = binary_maps.reshape(M, -1)
+    fused_flat = jnp.zeros_like(flat).at[seg_dest].max(flat, mode="drop")
+    fused_maps = fused_flat.reshape(binary_maps.shape)
+
+    # areas: single mask -> seg-map area (what _track_objects used);
+    # fused group -> OR-fused binary area (what the fuse step updates to)
+    seg_flat = seg_map.reshape(-1)
+    seg_area = jnp.zeros((M,), jnp.int32).at[
+        jnp.where(seg_flat >= 0, seg_flat, M)].add(1, mode="drop")
+    fused_area = jnp.sum(fused_flat.astype(jnp.int32), axis=1)
+    areas = jnp.where(group_size > 1, fused_area, seg_area).astype(jnp.int32)
+
+    # ---- top-k keyframe update + gating ----
+    store = inst.add_top_kf(store, ins_of_mask, kf_id, areas, keep_slot)
+    if unbounded_top_k:
+        keep = keep_slot
+    else:
+        keep = keep_slot & inst.is_top_kf(store, ins_of_mask, kf_id)
+
+    # diagnostic: unassigned matched points folded into each group's slot
+    grp_unassigned = jnp.zeros((M,), jnp.int32).at[seg_dest].add(
+        unassigned_cnt, mode="drop")
+    store = inst.add_matched_points(store, ins_of_mask, grp_unassigned,
+                                    keep_slot)
+
+    out = KeyframeMatch(
+        ins_ids=jnp.where(keep, ins_of_mask, -1),
+        fused_maps=fused_maps,
+        keep=keep,
+        areas=areas,
+        n_new=n_new,
+        n_matched=jnp.sum(matched.astype(jnp.int32)),
+        n_dropped_masks=dropped,
+    )
+    return map_state, store, out

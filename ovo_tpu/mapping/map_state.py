@@ -1,0 +1,164 @@
+"""Fixed-capacity device point map + the GT-pose ("vanilla") mapper step.
+
+Reference behavior: /root/reference/ovo/slam/vanilla_mapper.py. The reference
+grows tensors with ``torch.vstack`` every mapping step; on TPU the map lives
+in preallocated HBM buffers of capacity ``n_points`` with a valid ``count``,
+and a mapping step is ONE jitted program:
+
+  reproject existing map -> suppress matched pixels -> erode -> downscale ->
+  unproject surviving depth -> scatter-append points/ids/colors.
+
+Appending a dynamic number of points into static buffers uses a prefix-sum
+over the new-pixel mask to compute scatter destinations; overflow beyond
+capacity is dropped (mode="drop") and reported via the returned count.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import geometry as geo
+
+Array = jax.Array
+
+
+class MapState(NamedTuple):
+    points: Array      # (N, 3) f32 world coordinates
+    point_ids: Array   # (N,) i32 stable ids (monotonic, survive pruning)
+    obj_ids: Array     # (N,) i32 instance id per point, -1 = unassigned
+    colors: Array      # (N, 3) u8
+    count: Array       # () i32 number of valid entries
+    next_point_id: Array  # () i32
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[0]
+
+    def valid_mask(self) -> Array:
+        return jnp.arange(self.capacity) < self.count
+
+
+def init_map_state(n_points: int) -> MapState:
+    return MapState(
+        points=jnp.zeros((n_points, 3), jnp.float32),
+        point_ids=jnp.full((n_points,), -1, jnp.int32),
+        obj_ids=jnp.full((n_points,), -1, jnp.int32),
+        colors=jnp.zeros((n_points, 3), jnp.uint8),
+        count=jnp.zeros((), jnp.int32),
+        next_point_id=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k_pooling", "downscale", "match_th"))
+def map_insert_frame(state: MapState, image: Array, depth: Array, c2w: Array,
+                     K: Array, *, k_pooling: int = 3, downscale: int = 2,
+                     match_th: float = 0.03) -> MapState:
+    """One vanilla mapping step (vanilla_mapper.py:46-85), fully on device.
+
+    Args:
+      image: (H, W, 3) uint8 RGB at depth resolution.
+      depth: (H, W) f32 metric depth (0 = invalid).
+      c2w:   (4, 4) camera-to-world.
+      K:     (3, 3) intrinsics at depth resolution.
+    """
+    mask = depth > 0
+
+    # Suppress pixels already explained by the map (reprojection dedup).
+    def dedup(mask):
+        corners = geo.compute_camera_frustum_corners(depth, c2w, K)
+        in_frustum = geo.points_in_frustum(state.points, corners,
+                                           valid=state.valid_mask())
+        matched, uv = geo.match_points_to_depth(
+            depth, jnp.linalg.inv(c2w), state.points, K, match_th,
+            valid=in_frustum)
+        hits = jnp.zeros(depth.shape, jnp.bool_).at[uv[:, 1], uv[:, 0]].max(
+            matched, mode="drop")
+        mask_new = mask & ~hits
+        return geo.max_pool_erode(mask_new, k_pooling)
+
+    mask = jax.lax.cond(state.count > 0, dedup, lambda m: m, mask)
+
+    if downscale > 1:
+        mask = mask[::downscale, ::downscale]
+        depth_ds = depth[::downscale, ::downscale]
+        image_ds = image[::downscale, ::downscale]
+        K_ds = jnp.asarray(
+            [[K[0, 0], 0.0, K[0, 2]], [0.0, K[1, 1], K[1, 2]], [0.0, 0.0, 1.0]])
+        # NOTE: like the reference, pixel coordinates keep their ORIGINAL
+        # (full-res) indices -- the reference slices the meshgrid, it does not
+        # rescale intrinsics. Reproduce by unprojecting with original K over
+        # strided pixel coords.
+        h, w = mask.shape
+        v = (jnp.arange(h, dtype=jnp.float32) * downscale)[:, None]
+        u = (jnp.arange(w, dtype=jnp.float32) * downscale)[None, :]
+        x = (u - K[0, 2]) * depth_ds / K[0, 0]
+        y = (v - K[1, 2]) * depth_ds / K[1, 1]
+        cam = jnp.stack([x, y, depth_ds], axis=-1).reshape(-1, 3)
+        points = geo.transform_points(c2w, cam)
+        del K_ds
+    else:
+        image_ds = image
+        points = geo.unproject_depth(depth, K, c2w)
+
+    flat_mask = mask.reshape(-1)
+    colors = image_ds.reshape(-1, 3)
+    return _scatter_append(state, points, colors, flat_mask)
+
+
+def _scatter_append(state: MapState, points: Array, colors: Array,
+                    new_mask: Array) -> MapState:
+    """Append points[new_mask] (row-major order, same as the reference's
+    boolean indexing) into the fixed buffers at offset ``count``."""
+    order = jnp.cumsum(new_mask.astype(jnp.int32)) - 1  # rank among new points
+    n_new = jnp.sum(new_mask.astype(jnp.int32))
+    dest = jnp.where(new_mask, state.count + order, state.capacity)  # drop pad
+    new_points = state.points.at[dest].set(points.astype(jnp.float32), mode="drop")
+    new_colors = state.colors.at[dest].set(colors.astype(jnp.uint8), mode="drop")
+    ids = state.next_point_id + order
+    new_pids = state.point_ids.at[dest].set(ids.astype(jnp.int32), mode="drop")
+    new_objs = state.obj_ids.at[dest].set(jnp.full(order.shape, -1, jnp.int32),
+                                          mode="drop")
+    new_count = jnp.minimum(state.count + n_new, state.capacity)
+    return MapState(new_points, new_pids, new_objs, new_colors,
+                    new_count.astype(jnp.int32),
+                    (state.next_point_id + n_new).astype(jnp.int32))
+
+
+def map_dict(state: MapState) -> dict:
+    """Reference-compatible checkpoint dict (vanilla_mapper.py:105-112):
+    only the valid prefix is exported, keys/layout identical."""
+    import numpy as np
+
+    n = int(state.count)
+    return {
+        "xyz": np.asarray(state.points[:n]),
+        "obj_ids": np.asarray(state.obj_ids[:n]).reshape(-1, 1),
+        "ids": np.asarray(state.point_ids[:n]).reshape(-1, 1),
+        "max_id": int(state.next_point_id),
+        "color": np.asarray(state.colors[:n]),
+    }
+
+
+def from_map_dict(d: dict, capacity: int | None = None) -> MapState:
+    import numpy as np
+
+    xyz = np.asarray(d["xyz"], dtype=np.float32)
+    n = xyz.shape[0]
+    cap = capacity or max(1, n)
+    if cap < n:
+        raise ValueError(f"capacity {cap} < checkpoint points {n}")
+    state = init_map_state(cap)
+    obj = np.asarray(d["obj_ids"]).reshape(-1).astype(np.int32)
+    pid = np.asarray(d["ids"]).reshape(-1).astype(np.int32)
+    col = np.asarray(d["color"]).reshape(n, 3).astype(np.uint8)
+    return MapState(
+        points=state.points.at[:n].set(xyz),
+        point_ids=state.point_ids.at[:n].set(pid),
+        obj_ids=state.obj_ids.at[:n].set(obj),
+        colors=state.colors.at[:n].set(col),
+        count=jnp.asarray(n, jnp.int32),
+        next_point_id=jnp.asarray(int(d["max_id"]), jnp.int32),
+    )

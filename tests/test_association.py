@@ -1,0 +1,206 @@
+"""Parity tests: vectorized association program vs the sequential oracle."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ovo_tpu.mapping import association, instances as inst_mod
+from ovo_tpu.mapping.instances import init_instance_store
+from ovo_tpu.mapping.map_state import MapState, init_map_state
+
+from oracle_reference import (OracleTracker, oracle_frustum_mask,
+                              oracle_match_points)
+
+H, W = 40, 56
+M_MAX = 16
+K_CAP = 64
+FX = 50.0
+
+
+def make_cam():
+    return np.array([[FX, 0, W / 2 - 0.5], [0, FX, H / 2 - 0.5], [0, 0, 1]],
+                    dtype=np.float32)
+
+
+def synthetic_frame(rng, n_masks=6):
+    """A frame where masks are rectangles in the image and points unproject
+    exactly from the depth map (so geometry matching is exact)."""
+    K = make_cam()
+    depth = rng.uniform(1.0, 3.0, (H, W)).astype(np.float32)
+    seg = -np.ones((H, W), np.int32)
+    bmaps = np.zeros((M_MAX, H, W), bool)
+    # tile rectangles
+    cols = np.array_split(np.arange(W), 3)
+    rows = np.array_split(np.arange(H), 2)
+    i = 0
+    for rr in rows:
+        for cc in cols:
+            if i >= n_masks:
+                break
+            seg[np.ix_(rr, cc)] = i
+            bmaps[i][np.ix_(rr, cc)] = True
+            i += 1
+    valid = np.zeros(M_MAX, bool)
+    valid[:n_masks] = True
+    return K, depth, seg, bmaps, valid
+
+
+def points_from_depth(depth, K, c2w, stride=1):
+    # skip border pixels: they unproject exactly ONTO frustum boundary
+    # planes, where f32 (device) vs f64 (oracle) rounding flips the verdict
+    vv, uu = np.meshgrid(np.arange(1, H - 1, stride),
+                         np.arange(1, W - 1, stride), indexing="ij")
+    uu, vv = uu.ravel(), vv.ravel()
+    z = depth[vv, uu]
+    x = (uu - K[0, 2]) * z / K[0, 0]
+    y = (vv - K[1, 2]) * z / K[1, 1]
+    cam = np.stack([x, y, z], 1)
+    return (cam @ c2w[:3, :3].T + c2w[:3, 3]).astype(np.float32), uu, vv
+
+
+def run_both(rng, obj_init, track_th=50, kf_id=0, n_masks=6,
+             store=None, oracle=None, map_capacity=4096):
+    K, depth, seg, bmaps, valid = synthetic_frame(rng, n_masks)
+    c2w = np.eye(4, dtype=np.float32)
+    pts, uu, vv = points_from_depth(depth, K, c2w)
+    n = pts.shape[0]
+    obj_init = obj_init[:n]
+
+    ms = init_map_state(map_capacity)
+    ms = MapState(
+        points=ms.points.at[:n].set(pts),
+        point_ids=ms.point_ids.at[:n].set(np.arange(n, dtype=np.int32)),
+        obj_ids=ms.obj_ids.at[:n].set(obj_init.astype(np.int32)),
+        colors=ms.colors,
+        count=jnp.asarray(n, jnp.int32),
+        next_point_id=jnp.asarray(n, jnp.int32),
+    )
+    if store is None:
+        store = init_instance_store(K_CAP, clip_dim=8)
+    if oracle is None:
+        oracle = OracleTracker(track_th=track_th)
+        oracle.next_id = int(store.next_id)
+
+    new_ms, new_store, out = association.associate_keyframe(
+        ms, store, jnp.asarray(seg), jnp.asarray(bmaps), jnp.asarray(valid),
+        jnp.asarray(depth), jnp.asarray(c2w), jnp.asarray(K),
+        jnp.asarray(kf_id, jnp.int32),
+        match_distance_th=0.05, track_th=track_th, use_depth_filter=False,
+        unbounded_top_k=True)
+
+    # oracle path
+    frustum = oracle_frustum_mask(depth, c2w, K, pts)
+    ok, uc, vc = oracle_match_points(depth, np.linalg.inv(c2w), pts, K, 0.05,
+                                     frustum=frustum)
+    matched_idx = np.where(ok)[0]
+    matched_seg = seg[vc[matched_idx], uc[matched_idx]]
+    inb = matched_seg >= 0
+    oracle_obj, info = oracle.track(obj_init.copy(), matched_idx[inb],
+                                    matched_seg[inb], seg, kf_id)
+    o_ins, o_maps, o_areas = oracle.fuse(bmaps, info, kf_id)
+
+    return (new_ms, new_store, out), (oracle, oracle_obj, o_ins, o_maps,
+                                      o_areas), n
+
+
+def test_first_frame_mints_instances(rng):
+    obj0 = -np.ones(H * W, np.int64)
+    (ms, store, out), (oracle, o_obj, o_ins, o_maps, o_areas), n = \
+        run_both(rng, obj0)
+    got_ins = np.asarray(out.ins_ids)
+    keep = np.asarray(out.keep)
+    assert sorted(got_ins[keep].tolist()) == sorted(o_ins)
+    assert int(out.n_new) == oracle.next_id
+    # point labels identical
+    np.testing.assert_array_equal(np.asarray(ms.obj_ids[:n]), o_obj)
+    # areas per kept slot match oracle's
+    ours = {int(i): int(a) for i, a in zip(got_ins[keep], np.asarray(out.areas)[keep])}
+    theirs = dict(zip(o_ins, o_areas))
+    assert ours == theirs
+
+
+def test_second_frame_tracks_existing(rng):
+    obj0 = -np.ones(H * W, np.int64)
+    (ms, store, out), (oracle, o_obj, *_), n = run_both(rng, obj0)
+    # second frame: same layout, points pre-assigned from frame 0
+    obj1 = np.asarray(ms.obj_ids[:n]).astype(np.int64)
+    (ms2, store2, out2), (oracle2, o_obj2, o_ins2, o_maps2, o_areas2), _ = \
+        run_both(rng, obj1, kf_id=1, store=store, oracle=oracle)
+    keep = np.asarray(out2.keep)
+    got = np.asarray(out2.ins_ids)[keep]
+    assert sorted(got.tolist()) == sorted(o_ins2)
+    assert int(out2.n_new) == 0
+    np.testing.assert_array_equal(np.asarray(ms2.obj_ids[:n]), o_obj2)
+
+
+def test_mixed_assigned_majority_vote(rng):
+    """Pre-assign points with competing ids; the mask majority (with
+    torch.mode's lowest-id tie-break) must win in both implementations."""
+    obj0 = -np.ones(H * W, np.int64)
+    # seed two instances into the store id space first
+    (ms, store, out), (oracle, o_obj, *_), n = run_both(rng, obj0)
+    obj1 = np.asarray(ms.obj_ids[:n]).astype(np.int64)
+    # corrupt: swap labels of a random half of assigned points between two ids
+    ids = np.unique(obj1[obj1 >= 0])
+    if len(ids) >= 2:
+        a, b = ids[0], ids[1]
+        sel = rng.random(obj1.shape) < 0.5
+        obj1 = np.where((obj1 == a) & sel, b, obj1)
+    (ms2, store2, out2), (oracle2, o_obj2, o_ins2, o_maps2, o_areas2), _ = \
+        run_both(rng, obj1, kf_id=1, store=store, oracle=oracle)
+    np.testing.assert_array_equal(np.asarray(ms2.obj_ids[:n]), o_obj2)
+    keep = np.asarray(out2.keep)
+    assert sorted(np.asarray(out2.ins_ids)[keep].tolist()) == sorted(o_ins2)
+
+
+def test_fused_masks_match_oracle(rng):
+    """Two masks pre-labelled with one instance id -> OR-fusion into one slot."""
+    obj0 = -np.ones(H * W, np.int64)
+    (ms, store, out), (oracle, o_obj, *_), n = run_both(rng, obj0)
+    obj1 = np.asarray(ms.obj_ids[:n]).astype(np.int64)
+    ids = np.unique(obj1[obj1 >= 0])
+    a, b = ids[0], ids[1]
+    obj1[obj1 == b] = a  # force two rectangles to share an instance
+    (ms2, store2, out2), (oracle2, o_obj2, o_ins2, o_maps2, o_areas2), _ = \
+        run_both(rng, obj1, kf_id=1, store=store, oracle=oracle)
+    keep = np.asarray(out2.keep)
+    got_ins = np.asarray(out2.ins_ids)[keep]
+    assert sorted(got_ins.tolist()) == sorted(o_ins2)
+    # compare fused maps slotwise by instance id
+    fused = np.asarray(out2.fused_maps)[keep]
+    for ins, omap in zip(o_ins2, o_maps2):
+        ours = fused[got_ins.tolist().index(ins)]
+        np.testing.assert_array_equal(ours, omap)
+    ours_areas = {int(i): int(ar) for i, ar in
+                  zip(got_ins, np.asarray(out2.areas)[keep])}
+    assert ours_areas == dict(zip(o_ins2, o_areas2))
+
+
+def test_track_th_gates_small_masks(rng):
+    obj0 = -np.ones(H * W, np.int64)
+    # huge track_th -> nothing minted
+    (ms, store, out), (oracle, *_), n = run_both(rng, obj0, track_th=10 ** 6)
+    assert int(out.n_new) == 0
+    assert not np.asarray(out.keep).any()
+    assert (np.asarray(ms.obj_ids[:n]) == -1).all()
+
+
+def test_capacity_overflow_drops_masks(rng):
+    obj0 = -np.ones(H * W, np.int64)
+    store = init_instance_store(3, clip_dim=8)  # only 3 instance slots
+    K, depth, seg, bmaps, valid = synthetic_frame(rng, 6)
+    c2w = np.eye(4, dtype=np.float32)
+    pts, _, _ = points_from_depth(depth, K, c2w)
+    n = pts.shape[0]
+    ms = init_map_state(4096)
+    ms = MapState(ms.points.at[:n].set(pts),
+                  ms.point_ids.at[:n].set(np.arange(n, dtype=np.int32)),
+                  ms.obj_ids.at[:n].set(obj0.astype(np.int32)[:n]),
+                  ms.colors, jnp.asarray(n, jnp.int32), jnp.asarray(n, jnp.int32))
+    _, store2, out = association.associate_keyframe(
+        ms, store, jnp.asarray(seg), jnp.asarray(bmaps), jnp.asarray(valid),
+        jnp.asarray(depth), jnp.asarray(c2w), jnp.asarray(K),
+        jnp.asarray(0, jnp.int32), match_distance_th=0.05, track_th=50,
+        use_depth_filter=False, unbounded_top_k=True)
+    assert int(out.n_new) == 3
+    assert int(out.n_dropped_masks) == 3
+    assert int(store2.next_id) == 3
