@@ -1,0 +1,270 @@
+"""Semantic mapping core: the OVO-equivalent orchestrator.
+
+Reference behavior: class OVO (/root/reference/ovo/entities/ovo.py). Host
+code here only sequences jitted device programs and manages the deferred-CLIP
+keyframe queue; all per-keyframe math runs in ``associate_keyframe`` and the
+embedder's device programs over fixed-capacity buffers.
+
+Pluggable backends (duck-typed):
+  mask_source.get_masks(image, frame_id) ->
+      (seg_map (H,W) i32, binary_maps (M,H,W) bool, valid (M,) bool)
+  embedder.clip_dim
+  embedder.embed_masks(image u8 (H,W,3), binary_maps, valid) -> (M, D) f32
+  embedder.embed_text(texts: list[str]) -> (Q, D) f32 (normalized)
+  embedder.similarity(txt_embeds (Q,D), ins_desc (N,D)) -> (N, Q)
+"""
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import instances as inst
+from .association import associate_keyframe
+from .instances import InstanceStore, init_instance_store
+from .loop_closure import semantic_loop_closure
+from .map_state import MapState
+
+_MEDOID_FUSIONS = ("l1_medoid", "cossim_medoid")
+
+
+class SemanticMapper:
+    """Holds the instance store + keyframe queue and drives the per-keyframe
+    device programs. Mirrors OVO's public surface: detect_and_track_objects,
+    compute/complete_semantic_info, update_map, query, classify_instances,
+    capture_dict/restore_dict (ovo.py:121,326,330,366,473,495,529,551)."""
+
+    def __init__(self, config: Dict[str, Any], logger=None,
+                 scene_name: Optional[str] = None,
+                 cam_intrinsics: Optional[np.ndarray] = None,
+                 eval: bool = False, mask_source=None, embedder=None) -> None:
+        if not eval:
+            assert cam_intrinsics is not None, \
+                "Camera intrinsics required for reconstruction!"
+        self.config = config
+        self.logger = logger
+        self.cam_intrinsics = (jnp.asarray(cam_intrinsics, jnp.float32)
+                               if cam_intrinsics is not None else None)
+        self.mask_source = mask_source
+        self.embedder = embedder
+
+        clip_cfg = config.get("clip", {})
+        self.n_top_views = int(clip_cfg.get("k_top_views", 0))
+        self.fusion = clip_cfg.get("fusion", "l1_medoid")
+        self.clip_dim = (embedder.clip_dim if embedder is not None
+                         else int(clip_cfg.get("clip_dim", 1024)))
+
+        caps = config.get("capacity", {})
+        self.n_instances = int(caps.get("n_instances", 1024))
+        n_slots_cfg = int(caps.get("top_k_slots", 16))
+        # unbounded top-k (reference default k_top_views=10000): no gating
+        self.unbounded_top_k = (self.n_top_views <= 0
+                                or self.n_top_views > n_slots_cfg)
+        n_slots = (n_slots_cfg if self.unbounded_top_k
+                   else max(self.n_top_views, 1))
+        self.store: InstanceStore = init_instance_store(
+            self.n_instances, self.clip_dim, n_slots=n_slots,
+            store_slot_descs=self.fusion in _MEDOID_FUSIONS)
+
+        self.match_distance_th = float(config.get("match_distance_th", 0.05))
+        self.track_th = int(config.get("track_th", 100))
+        self.use_depth_filter = bool(config.get("depth_filter", False))
+        self.kf_queue_delay = int(config.get("kf_queue_delay", 0))
+        self.th_centroid = float(config.get("th_centroid", 1.5))
+        self.th_cossim = float(config.get("th_cossim", 0.81))
+        self.th_points = float(config.get("th_points", 0.1))
+        self.log = bool(config.get("log", False))
+
+        self.keyframes_queue: deque = deque()
+        self.kf_id = 0
+        self.frame_ids: List[int] = []    # kf_id -> dataset frame id
+        self._time_cache: List[float] = []
+
+    # ------------------------------------------------------------------
+    # Per-keyframe association
+    # ------------------------------------------------------------------
+
+    def detect_and_track_objects(self, frame_data, map_state: MapState,
+                                 c2w) -> Optional[MapState]:
+        """frame_data: (frame_id, image, depth, rgb_depth_ratio)."""
+        frame_id, image, depth, rgb_depth_ratio = frame_data
+
+        t0 = time.time()
+        seg_map, binary_maps, mask_valid = self.mask_source.get_masks(
+            image, frame_id)
+        if seg_map is None or not bool(np.asarray(mask_valid).any()):
+            print(f"No mask segmented in {frame_id}!")
+            return None
+        t_sam = time.time() - t0
+
+        last_id = int(self.store.next_id)
+        t0 = time.time()
+        ratio = tuple(rgb_depth_ratio) if len(rgb_depth_ratio) else None
+        map_state, self.store, match = associate_keyframe(
+            map_state, self.store, seg_map, binary_maps, mask_valid,
+            jnp.asarray(depth, jnp.float32), jnp.asarray(c2w, jnp.float32),
+            self.cam_intrinsics, jnp.asarray(self.kf_id, jnp.int32),
+            match_distance_th=self.match_distance_th, track_th=self.track_th,
+            use_depth_filter=self.use_depth_filter,
+            unbounded_top_k=self.unbounded_top_k, rgb_depth_ratio=ratio)
+
+        self.keyframes_queue.append(
+            dict(ins_ids=match.ins_ids, keep=match.keep,
+                 fused_maps=match.fused_maps, image=image, kf_id=self.kf_id))
+        self.frame_ids.append(frame_id)
+        self.kf_id += 1
+
+        if self.log and self.logger is not None:
+            match.n_matched.block_until_ready()
+            t_obj = time.time() - t0
+            self.logger.log_ovo_stats({
+                "frame_id": frame_id,
+                "n_obj": [int(self.store.next_id) - last_id],
+                "n_matches": int(match.n_matched),
+                "t_sam": round(t_sam, 2),
+                "t_obj": round(t_obj, 3),
+            }, print_output=True)
+        return map_state
+
+    # ------------------------------------------------------------------
+    # Deferred CLIP extraction (the keyframe pipeline, ovo.py:326-364)
+    # ------------------------------------------------------------------
+
+    def compute_semantic_info(self) -> None:
+        if len(self.keyframes_queue) > self.kf_queue_delay:
+            self._compute_semantic_info()
+
+    def complete_semantic_info(self) -> None:
+        while self.keyframes_queue:
+            self._compute_semantic_info()
+
+    def _compute_semantic_info(self) -> None:
+        kf = self.keyframes_queue.popleft()
+        ins_ids, keep = kf["ins_ids"], kf["keep"]
+        kf_id = kf["kf_id"]
+
+        if not self.unbounded_top_k:
+            # re-filter: the kf may have been evicted from an instance's
+            # top-k during the queue delay (ovo.py:340-347)
+            keep = keep & inst.is_top_kf(self.store, ins_ids,
+                                         jnp.asarray(kf_id, jnp.int32))
+        if not bool(np.asarray(keep).any()):
+            return
+
+        t0 = time.time()
+        descs = self.embedder.embed_masks(kf["image"], kf["fused_maps"], keep)
+        t_clip = time.time() - t0
+
+        t0 = time.time()
+        self.store = inst.update_descriptors(
+            self.store, ins_ids, descs.astype(jnp.float32),
+            jnp.asarray(kf_id, jnp.int32), keep, fusion=self.fusion)
+        if self.log and self.logger is not None:
+            self.store.clip_feature.block_until_ready()
+            t_up = time.time() - t0
+            self.logger.log_ovo_stats({
+                "frame_id": self.frame_ids[kf_id],
+                "t_clip": round(t_clip, 2),
+                "t_up": round(t_up, 3),
+            }, print_output=True)
+
+    # ------------------------------------------------------------------
+    # Loop closure
+    # ------------------------------------------------------------------
+
+    def update_map(self, map_state: MapState, kfs=None) -> MapState:
+        self.complete_semantic_info()
+        map_state, self.store, _ = semantic_loop_closure(
+            map_state, self.store, self.th_centroid, self.th_cossim,
+            self.th_points)
+        return map_state
+
+    # ------------------------------------------------------------------
+    # Query / classification (ovo.py:473-527)
+    # ------------------------------------------------------------------
+
+    def active_ids(self) -> np.ndarray:
+        return np.where(np.asarray(self.store.active))[0]
+
+    def get_objs_clips(self) -> jnp.ndarray:
+        ids = self.active_ids()
+        return self.store.clip_feature[jnp.asarray(ids, jnp.int32)]
+
+    def query(self, queries: Sequence[str],
+              templates: Sequence[str] = ("{}",)) -> np.ndarray:
+        """(n_instances, n_queries) similarity map, instance rows in active-id
+        order (matching the reference's objects-dict iteration order)."""
+        ids = self.active_ids()
+        assert len(ids) > 0, "No 3D instances to query!"
+        obj_clips = self.get_objs_clips()
+        if isinstance(templates, str):
+            templates = [templates]
+        txt = []
+        for q in queries:
+            # per-query template ensemble, each query embedded independently
+            # (clip_generator.py:186-196)
+            embeds = self.embedder.embed_text(
+                [t.format(q) for t in templates])
+            mean = np.asarray(embeds).mean(0)
+            txt.append(mean / max(np.linalg.norm(mean), 1e-12))
+        txt = jnp.asarray(np.stack(txt), jnp.float32)
+        return np.asarray(self.embedder.similarity(txt, obj_clips))
+
+    def classify_instances(self, classes: Sequence[str],
+                           template="This is a photo of a {}",
+                           th: float = 0.0) -> Dict[str, np.ndarray]:
+        sim = self.query(classes, template if isinstance(template, (list, tuple))
+                         else [template])
+        cls = sim.argmax(axis=1)
+        conf = sim[np.arange(len(cls)), cls]
+        cls = np.where(conf <= th, -1, cls)
+        conf = np.where(conf <= th, 0.0, conf)
+        return {"classes": cls, "conf": conf, "ids": self.active_ids()}
+
+    # ------------------------------------------------------------------
+    # Checkpointing (ovo.py:529-576 key layout)
+    # ------------------------------------------------------------------
+
+    def capture_dict(self, debug_info: bool = False) -> Dict[str, Any]:
+        ids = self.active_ids()
+        out: Dict[str, Any] = {"ins_3d_ids": np.asarray(ids)}
+        feats = np.asarray(self.store.clip_feature)
+        has = np.asarray(self.store.has_clip)
+        for i in ids:
+            out[f"ins3d_{i}_clip_feature"] = feats[i] if has[i] else None
+            out[f"ins3d_{i}_clip_feature_kf"] = 0 if has[i] else None
+        if debug_info:
+            out["frame_id"] = np.asarray(self.frame_ids)
+            out["desc_cnt"] = np.asarray(self.store.desc_cnt)[ids]
+            out["n_points"] = np.asarray(self.store.n_points)[ids]
+        return out
+
+    def restore_dict(self, scene_dict: Dict[str, Any],
+                     debug_info: bool = False) -> None:
+        ids = np.asarray(scene_dict["ins_3d_ids"]).astype(np.int64)
+        if len(ids) and ids.max() >= self.n_instances:
+            self.store = init_instance_store(
+                int(ids.max()) + 1, self.clip_dim,
+                n_slots=self.store.n_slots,
+                store_slot_descs=self.fusion in _MEDOID_FUSIONS)
+        active = np.zeros(self.store.capacity, bool)
+        feats = np.zeros((self.store.capacity, self.clip_dim), np.float32)
+        has = np.zeros(self.store.capacity, bool)
+        for i in ids:
+            active[i] = True
+            f = scene_dict.get(f"ins3d_{i}_clip_feature")
+            if f is not None:
+                feats[i] = np.asarray(f, np.float32).reshape(-1)[:self.clip_dim]
+                has[i] = True
+        self.store = self.store._replace(
+            active=jnp.asarray(active),
+            clip_feature=jnp.asarray(feats),
+            has_clip=jnp.asarray(has),
+            desc_sum=jnp.asarray(feats),
+            desc_cnt=jnp.asarray(has.astype(np.int32)),
+            next_id=jnp.asarray(int(ids.max()) + 1 if len(ids) else 0,
+                                jnp.int32),
+        )

@@ -1,0 +1,92 @@
+"""Semantic loop-closure fusion tests (synthetic instances)."""
+import numpy as np
+import jax.numpy as jnp
+
+from ovo_tpu.mapping.instances import init_instance_store, mint_instances, \
+    update_descriptors
+from ovo_tpu.mapping.loop_closure import apply_fusion, semantic_loop_closure
+from ovo_tpu.mapping.map_state import MapState, init_map_state
+
+
+def build_scene(rng, clusters, D=8, K=16):
+    """clusters: list of (center, n_points, descriptor)."""
+    total = sum(n for _, n, _ in clusters)
+    ms = init_map_state(max(total, 64))
+    pts, objs = [], []
+    store = init_instance_store(K, clip_dim=D)
+    store = mint_instances(store, jnp.asarray(len(clusters), jnp.int32))
+    for iid, (c, n, desc) in enumerate(clusters):
+        pts.append(np.asarray(c) + rng.normal(0, 0.02, (n, 3)))
+        objs.append(np.full(n, iid, np.int32))
+        store = update_descriptors(
+            store, jnp.asarray([iid], jnp.int32),
+            jnp.asarray(desc, jnp.float32)[None], jnp.asarray(0, jnp.int32),
+            jnp.asarray([True]))
+    pts = np.concatenate(pts).astype(np.float32)
+    objs = np.concatenate(objs)
+    n = len(pts)
+    ms = MapState(ms.points.at[:n].set(pts), ms.point_ids.at[:n].set(
+        np.arange(n, dtype=np.int32)), ms.obj_ids.at[:n].set(objs),
+        ms.colors, jnp.asarray(n, jnp.int32), jnp.asarray(n, jnp.int32))
+    return ms, store
+
+
+def unit(v):
+    v = np.asarray(v, np.float32)
+    return v / np.linalg.norm(v)
+
+
+def test_overlapping_similar_instances_fuse(rng):
+    d = unit(rng.standard_normal(8))
+    clusters = [([0, 0, 0], 200, d), ([0.01, 0, 0], 200, d),
+                ([5, 5, 5], 200, unit(rng.standard_normal(8)))]
+    ms, store = build_scene(rng, clusters)
+    ms2, store2, fused = semantic_loop_closure(ms, store)
+    assert fused == {1: 0}
+    obj = np.asarray(ms2.obj_ids[:int(ms2.count)])
+    assert set(obj.tolist()) == {0, 2}
+    active = np.asarray(store2.active)
+    assert active[0] and active[2] and not active[1]
+    # merged descriptor stats
+    assert int(store2.desc_cnt[0]) == 2
+
+
+def test_distant_instances_do_not_fuse(rng):
+    d = unit(rng.standard_normal(8))
+    clusters = [([0, 0, 0], 150, d), ([10, 0, 0], 150, d)]
+    ms, store = build_scene(rng, clusters)
+    _, _, fused = semantic_loop_closure(ms, store)
+    assert fused == {}
+
+
+def test_dissimilar_descriptors_do_not_fuse(rng):
+    d1 = unit([1, 0, 0, 0, 0, 0, 0, 0])
+    d2 = unit([0, 1, 0, 0, 0, 0, 0, 0])  # orthogonal
+    clusters = [([0, 0, 0], 150, d1), ([0.01, 0, 0], 150, d2)]
+    ms, store = build_scene(rng, clusters)
+    _, _, fused = semantic_loop_closure(ms, store)
+    assert fused == {}
+
+
+def test_unsupported_instances_removed(rng):
+    d = unit(rng.standard_normal(8))
+    clusters = [([0, 0, 0], 150, d)]
+    ms, store = build_scene(rng, clusters)
+    # mint an extra instance with no point support
+    store = mint_instances(store, jnp.asarray(1, jnp.int32))
+    assert bool(store.active[1])
+    _, store2, _ = semantic_loop_closure(ms, store)
+    assert not bool(store2.active[1])
+    assert bool(store2.active[0])
+
+
+def test_apply_fusion_chains(rng):
+    d = unit(rng.standard_normal(8))
+    clusters = [([0, 0, 0], 100, d), ([0.01, 0, 0], 100, d),
+                ([0.02, 0, 0], 100, d)]
+    ms, store = build_scene(rng, clusters)
+    ms2, store2 = apply_fusion(ms, store, {1: 0, 2: 1})
+    obj = np.asarray(ms2.obj_ids[:int(ms2.count)])
+    assert set(obj.tolist()) == {0}
+    assert np.asarray(store2.active).tolist()[:3] == [True, False, False]
+    assert int(store2.desc_cnt[0]) == 3
