@@ -1,0 +1,90 @@
+"""GT-pose point-cloud mapper backbone (reference: vanilla_mapper.py).
+
+Duck-typed backbone interface shared by all tiers (selected in pipeline):
+  track_camera(frame_data), map(frame_data, c2w), get_c2w(fid), get_map(),
+  get_kfs(), get_map_dict()/set_map_dict(), get_cam_dict()/set_cam_dict(),
+  update_pcd_obj_ids(obj_ids), get_pcd_colors(), map_updated flag.
+
+The map itself is a fixed-capacity device MapState; `map()` is one jitted
+program (map_state.map_insert_frame).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..mapping.map_state import (MapState, from_map_dict, init_map_state,
+                                 map_dict, map_insert_frame)
+
+
+class VanillaMapper:
+    def __init__(self, config: Dict[str, Any], cam_intrinsics) -> None:
+        self.cam_intrinsics = jnp.asarray(np.asarray(cam_intrinsics),
+                                          jnp.float32)
+        self.config = config
+        mapping = config.get("mapping", {})
+        self.k_pooling = int(mapping.get("k_pooling", 3))
+        self.downscale = int(mapping.get("downscale_res",
+                                         mapping.get("downscale_ratio", 2)))
+        self.match_distance_th = 0.03  # 3 cm (vanilla_mapper.py:15)
+        capacity = int(mapping.get("n_points_capacity", 2 ** 21))
+        self.state: MapState = init_map_state(capacity)
+        self.estimated_c2ws: Dict[int, np.ndarray] = {}
+        self.kfs: Dict[int, Any] = {}
+        self.map_updated = False
+
+    # -- tracking -------------------------------------------------------
+    def track_camera(self, frame_data: List[Any]) -> None:
+        frame_id, c2w = frame_data[0], frame_data[3]
+        if np.isinf(c2w).sum() > 0 or np.isnan(c2w).sum() > 0:
+            return
+        self.estimated_c2ws[frame_id] = np.asarray(c2w, np.float32)
+
+    def get_c2w(self, frame_id: int):
+        return self.estimated_c2ws.get(frame_id)
+
+    # -- mapping --------------------------------------------------------
+    def map(self, frame_data: List[Any], c2w) -> None:
+        image, depth = frame_data[1], frame_data[2]
+        self.state = map_insert_frame(
+            self.state, jnp.asarray(image), jnp.asarray(depth, jnp.float32),
+            jnp.asarray(c2w, jnp.float32), self.cam_intrinsics,
+            k_pooling=self.k_pooling, downscale=self.downscale,
+            match_th=self.match_distance_th)
+
+    # -- accessors ------------------------------------------------------
+    def get_map(self) -> MapState:
+        return self.state
+
+    def set_map(self, state: MapState) -> None:
+        self.state = state
+
+    def get_kfs(self):
+        return self.kfs
+
+    def update_pcd_obj_ids(self, state_or_ids) -> None:
+        if isinstance(state_or_ids, MapState):
+            self.state = state_or_ids
+        else:
+            self.state = self.state._replace(
+                obj_ids=jnp.asarray(state_or_ids, jnp.int32))
+
+    def get_pcd_colors(self) -> np.ndarray:
+        n = int(self.state.count)
+        return np.asarray(self.state.colors[:n])
+
+    # -- checkpointing (reference key layout) ---------------------------
+    def get_map_dict(self) -> Dict[str, Any]:
+        return map_dict(self.state)
+
+    def set_map_dict(self, d: Dict[str, Any]) -> None:
+        self.state = from_map_dict(d, capacity=self.state.capacity)
+
+    def get_cam_dict(self) -> Dict[int, np.ndarray]:
+        return {k: np.asarray(v) for k, v in self.estimated_c2ws.items()}
+
+    def set_cam_dict(self, cam_dict: Dict[Any, Any]) -> None:
+        self.estimated_c2ws = {int(k): np.asarray(v, np.float32)
+                               for k, v in cam_dict.items()}

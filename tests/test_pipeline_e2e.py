@@ -1,0 +1,138 @@
+"""End-to-end pipeline test on the synthetic wall scene: run -> checkpoint ->
+restore -> classify -> GT label transfer -> confusion metrics. This is the
+minimum end-to-end slice (BASELINE config 1): every data structure exercised
+with no model weights."""
+import numpy as np
+import pytest
+
+from ovo_tpu.data.masks import CallableMaskSource, RecordedEmbedder
+from ovo_tpu.eval.semantics import update_confmat, iou_acc_from_confmat
+from ovo_tpu.eval.transfer import match_labels_to_vtx
+from ovo_tpu.mapping.pipeline import OVOSemMap
+from ovo_tpu.utils import io as io_utils
+
+from synthetic_scene import (CLASSES, SyntheticWallDataset, class_embeddings,
+                             gt_mesh, mask_label_fn, synthetic_mask_fn)
+
+
+def make_config():
+    return {
+        "dataset_name": "synthetic",
+        "use_wandb": False,
+        "debug": False,
+        "slam": {"slam_module": "vanilla", "save_estimated_cam": True},
+        "mapping": {"map_every": 2, "k_pooling": 1, "downscale_res": 1,
+                    "n_points_capacity": 1 << 17},
+        "tracking": {"track_every": 1},
+        "data": {"scene_name": "wall0"},
+        "cam": {},
+        "semantic": {
+            "segment_every": 2,
+            "match_distance_th": 0.05,
+            "track_th": 40,
+            "depth_filter": False,
+            "log": False,
+            "kf_queue_delay": 2,
+            "capacity": {"n_instances": 64, "n_masks": 16},
+            "clip": {"k_top_views": 10000, "fusion": "avg_pooling",
+                     "clip_dim": 16},
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(tmp_path_factory):
+    out = tmp_path_factory.mktemp("run")
+    ds = SyntheticWallDataset(n_frames=12)
+    embeds = class_embeddings(16)
+    text_embeds = {f"This is a photo of a {c}": embeds[i]
+                   for i, c in enumerate(CLASSES)}
+    text_embeds.update({c: embeds[i] for i, c in enumerate(CLASSES)})
+    embedder = RecordedEmbedder(16, mask_label_fn, embeds, text_embeds)
+    mask_source = CallableMaskSource(synthetic_mask_fn, max_masks=16)
+    sem_map = OVOSemMap(make_config(), out, mask_source=mask_source,
+                        embedder=embedder, dataset=ds)
+    sem_map.run()
+    return sem_map, out, ds
+
+
+def test_pipeline_builds_map_and_instances(pipeline_run):
+    sem_map, out, ds = pipeline_run
+    state = sem_map.slam_backbone.get_map()
+    assert int(state.count) > 1000
+    ids = sem_map.ovo.active_ids()
+    # at least the 4 classes produce instances (regions may fragment at
+    # frame borders before views overlap enough)
+    assert len(ids) >= 4
+    assigned = np.asarray(state.obj_ids[:int(state.count)]) >= 0
+    assert assigned.mean() > 0.5
+
+
+def test_pipeline_checkpoint_roundtrip(pipeline_run):
+    sem_map, out, ds = pipeline_run
+    ckpt = io_utils.load_ckpt(out / "ovo_map.ckpt")
+    assert set(ckpt) == {"map_params", "ovo_map_params"}
+    assert ckpt["map_params"]["xyz"].shape[0] == int(
+        sem_map.slam_backbone.get_map().count)
+    ids = ckpt["ovo_map_params"]["ins_3d_ids"]
+    assert len(ids) == len(sem_map.ovo.active_ids())
+    for i in ids:
+        assert f"ins3d_{i}_clip_feature" in ckpt["ovo_map_params"]
+
+
+def test_pipeline_query_and_classify(pipeline_run):
+    sem_map, out, ds = pipeline_run
+    sim = sem_map.ovo.query(CLASSES, templates=["{}"])
+    assert sim.shape == (len(sem_map.ovo.active_ids()), len(CLASSES))
+    info = sem_map.ovo.classify_instances(CLASSES)
+    assert (info["conf"] > 0.9).mean() > 0.8  # one-hot embeds -> confident
+
+
+def test_pipeline_e2e_miou(pipeline_run):
+    """Label transfer to the GT wall mesh + confusion metrics: with perfect
+    masks and one-hot embeddings, observed-region mIoU must be high."""
+    sem_map, out, ds = pipeline_run
+    state = sem_map.slam_backbone.get_map()
+    n = int(state.count)
+    pts = np.asarray(state.points[:n])
+    obj = np.asarray(state.obj_ids[:n])
+
+    info = sem_map.ovo.classify_instances(CLASSES)
+    vtx, gt_labels = gt_mesh()
+    mesh_ins, masks, matched = match_labels_to_vtx(obj, pts, vtx)
+    id_to_idx = {int(i): k for k, i in enumerate(info["ids"])}
+    pred_cls = info["classes"][
+        np.vectorize(lambda v: id_to_idx[int(v)])(mesh_ins)]
+
+    # only evaluate vertices the camera sweep could observe
+    seen = (np.abs(vtx[:, 0]) < 1.9) & (np.abs(vtx[:, 1]) < 0.9)
+    conf = np.zeros((len(CLASSES), len(CLASSES)), np.ulonglong)
+    update_confmat(conf, gt_labels[seen], pred_cls[seen], ignore=[])
+    iou, mask_v, _, acc, acc_m = iou_acc_from_confmat(conf, len(CLASSES), [])
+    miou = float(np.mean(iou[mask_v]))
+    macc = float(np.mean(acc[acc_m]))
+    assert miou > 0.8, f"mIoU {miou}: iou={iou}"
+    assert macc > 0.85, f"mAcc {macc}"
+
+
+def test_pipeline_restore_and_requery(pipeline_run, tmp_path):
+    sem_map, out, ds = pipeline_run
+    # eval-style reload: rebuild a SemanticMapper from the checkpoint alone
+    from ovo_tpu.mapping.semantic import SemanticMapper
+    from synthetic_scene import class_embeddings, CLASSES
+    from ovo_tpu.data.masks import RecordedEmbedder
+
+    ckpt = io_utils.load_ckpt(out / "ovo_map.ckpt")
+    embeds = class_embeddings(16)
+    text_embeds = {c: embeds[i] for i, c in enumerate(CLASSES)}
+    text_embeds.update({f"This is a photo of a {c}": embeds[i]
+                        for i, c in enumerate(CLASSES)})
+    embedder = RecordedEmbedder(16, mask_label_fn, embeds, text_embeds)
+    ovo2 = SemanticMapper(make_config()["semantic"], eval=True,
+                          embedder=embedder)
+    ovo2.restore_dict(ckpt["ovo_map_params"])
+    np.testing.assert_array_equal(ovo2.active_ids(),
+                                  sem_map.ovo.active_ids())
+    sim1 = sem_map.ovo.query(CLASSES, ["{}"])
+    sim2 = ovo2.query(CLASSES, ["{}"])
+    np.testing.assert_allclose(sim1, sim2, atol=1e-5)
