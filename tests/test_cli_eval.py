@@ -1,0 +1,110 @@
+"""CLI-phase tests: config assembly, --segment/--eval machinery on a
+synthetic experiment directory in the reference's layout."""
+import os
+import numpy as np
+import pytest
+import yaml
+
+from ovo_tpu.config import assemble_run_config
+from ovo_tpu.eval.semantics import eval_semantics
+from ovo_tpu.utils import io as io_utils
+
+
+def test_assemble_run_config_layers():
+    cfg = assemble_run_config("configs", "Replica", "room0")
+    assert cfg["dataset_name"] == "replica"
+    assert cfg["cam"]["H"] == 680
+    assert cfg["mapping"]["k_pooling"] == 3       # from slam/vanilla/replica
+    assert cfg["mapping"]["map_every"] == 5       # from ovo.yaml
+    assert cfg["semantic"]["clip"]["embed_type"] == "TextRegion"
+    assert cfg["data"]["scene_name"] == "room0"
+
+
+def test_assemble_run_config_scannet():
+    cfg = assemble_run_config("configs", "ScanNet", "scene0011_00")
+    assert cfg["cam"]["crop_edge"] == 12
+    assert cfg["dataset_name"] == "scannet"
+
+
+def write_ascii_ply(path, vtx):
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(vtx)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("end_header\n")
+        for v in vtx:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+
+
+def test_ply_reader_roundtrip(tmp_path, rng):
+    vtx = rng.standard_normal((50, 3)).astype(np.float32)
+    write_ascii_ply(tmp_path / "m.ply", vtx)
+    got = io_utils._read_ply_vertices(tmp_path / "m.ply")
+    np.testing.assert_allclose(got, vtx, atol=1e-5)
+
+
+def test_eval_semantics_metrics(tmp_path):
+    """Two tiny scenes with known confusion -> exact metric values."""
+    info = {
+        "dataset": "toy",
+        "num_classes": 3,
+        "class_names": ["a", "b", "c"],
+        "ignore": [],
+    }
+    gt_dir = tmp_path / "gt"
+    pr_dir = tmp_path / "pred"
+    gt_dir.mkdir()
+    pr_dir.mkdir()
+    # scene1: perfect; scene2: class 1 predicted as 2 half the time
+    io_utils.write_labels(gt_dir / "s1.txt", np.array([0, 1, 2, 2]))
+    io_utils.write_labels(pr_dir / "s1.txt", np.array([0, 1, 2, 2]))
+    io_utils.write_labels(gt_dir / "s2.txt", np.array([1, 1, 0, 0]))
+    io_utils.write_labels(pr_dir / "s2.txt", np.array([1, 2, 0, 0]))
+    metrics, conf = eval_semantics(pr_dir, gt_dir, ["s1", "s2"], info,
+                                   verbose=False, return_metrics=True)
+    # class0: tp=3 fp=0 fn=0 -> iou 1; class1: tp=2 fn=1 fp=0 -> 2/3;
+    # class2: tp=2 fn=0 fp=1 -> 2/3
+    assert metrics["iou"] == round((1 + 2 / 3 + 2 / 3) / 3, 3)
+    assert metrics["acc"] == round((1 + 2 / 3 + 1) / 3, 3)
+    assert conf[1, 2] == 1
+
+
+def test_eval_semantics_ignore_and_remap(tmp_path):
+    info = {
+        "dataset": "toy",
+        "num_classes": 2,
+        "class_names_reduced": ["x", "y"],
+        "map_to_reduced": {10: 0, 20: 1, 30: -1},
+        "ignore": [-1],
+    }
+    gt_dir = tmp_path / "gt"
+    pr_dir = tmp_path / "pred"
+    gt_dir.mkdir()
+    pr_dir.mkdir()
+    io_utils.write_labels(gt_dir / "s.txt", np.array([10, 20, 30, 99]))
+    io_utils.write_labels(pr_dir / "s.txt", np.array([0, 1, 0, 1]))
+    metrics, conf = eval_semantics(pr_dir, gt_dir, ["s"], info,
+                                   verbose=False, return_metrics=True)
+    # 30 and 99 map to -1 -> ignored entirely
+    assert conf.sum() == 2
+    assert metrics["iou"] == 1.0
+
+
+def test_rle_roundtrip(rng):
+    mask = (rng.random(257) > 0.6).astype(np.uint8)
+    rle = io_utils.rle_encode(mask)
+    np.testing.assert_array_equal(io_utils.rle_decode(rle), mask)
+
+
+def test_write_instances(tmp_path, rng):
+    masks = (rng.random((3, 40)) > 0.5).astype(np.int32)
+    info = {"masks": masks, "classes": np.array([2, 0, 1]),
+            "conf": np.array([0.9, 0.8, 0.7])}
+    io_utils.write_instances(tmp_path, "sc", info)
+    lines = open(tmp_path / "instance_pred" / "sc.txt").read().splitlines()
+    assert len(lines) == 3
+    import json
+
+    rle = json.load(open(tmp_path / "instance_pred" / "predicted_masks" /
+                         "sc_0.json"))
+    np.testing.assert_array_equal(io_utils.rle_decode(rle), masks[0])
