@@ -1,0 +1,155 @@
+"""Fused attention for the ViT/Hiera towers.
+
+Two implementations behind one call:
+  - ``flash``: a Pallas TPU kernel (blocked K/V streaming with running
+    softmax, bf16 matmuls on the MXU, f32 accumulators). Forward-only: every
+    tower in this framework runs inference in the mapping hot loop.
+  - ``xla``: plain einsum+softmax, used on CPU (tests) and for shapes the
+    kernel does not cover.
+
+`dot_product_attention(q, k, v)` picks automatically.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def xla_attention(q: Array, k: Array, v: Array,
+                  mask: Optional[Array] = None, scale: Optional[float] = None
+                  ) -> Array:
+    """(B, H, Lq, D), (B, H, Lk, D) -> (B, H, Lq, D). mask broadcastable to
+    (B, H, Lq, Lk), True = attend."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e30)
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (forward)
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float,
+                  causal: bool):
+    q = q_ref[0].astype(jnp.float32) * scale          # (block_q, d)
+    block_q, d = q.shape
+    lk = k_ref.shape[1]
+    n_kb = lk // block_k
+    q_block_start = pl.program_id(1) * block_q
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if causal:
+            q_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0) + q_block_start
+            k_ids = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(q_ids >= k_ids, s, -1e30)
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q,), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "causal", "block_q",
+                                             "block_k", "interpret"))
+def flash_attention(q: Array, k: Array, v: Array, *,
+                    scale: Optional[float] = None, causal: bool = False,
+                    block_q: int = 256, block_k: int = 256,
+                    interpret: bool = False) -> Array:
+    """(B, H, L, D) fused attention. L must be padded to block multiples by
+    the caller (wrapper below handles it)."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+    bq = min(block_q, lq)
+    bk = min(block_k, lk)
+    assert lq % bq == 0 and lk % bk == 0
+
+    qr = q.reshape(b * h, lq, d)
+    kr = k.reshape(b * h, lk, d)
+    vr = v.reshape(b * h, lk, d)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=bk, scale=scale,
+                          causal=causal),
+        grid=(b * h, lq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        interpret=interpret,
+    )(qr, kr, vr)
+    return out.reshape(b, h, lq, d)
+
+
+def dot_product_attention(q: Array, k: Array, v: Array,
+                          mask: Optional[Array] = None,
+                          scale: Optional[float] = None,
+                          causal: bool = False,
+                          impl: str = "auto") -> Array:
+    """Dispatcher. Uses the Pallas kernel on TPU for unmasked (or causal)
+    attention with kernel-friendly shapes; XLA otherwise."""
+    if impl == "xla" or mask is not None or not _on_tpu():
+        if causal and mask is None:
+            lq, lk = q.shape[-2], k.shape[-2]
+            mask = jnp.tril(jnp.ones((lq, lk), bool))[None, None]
+        return xla_attention(q, k, v, mask=mask, scale=scale)
+
+    lq, lk, d = q.shape[-2], k.shape[-2], q.shape[-1]
+    if d % 128 != 0 or lq < 128 or lk < 128:
+        if causal:
+            mask = jnp.tril(jnp.ones((lq, lk), bool))[None, None]
+        return xla_attention(q, k, v, mask=mask, scale=scale)
+
+    # pad sequence lengths to block multiples
+    bq = 128 if lq % 256 else 256
+    bk = 128 if lk % 256 else 256
+    pad_q = (-lq) % bq
+    pad_k = (-lk) % bk
+    if pad_k and not causal:
+        # padded keys would receive weight; fall back (cheap path anyway)
+        return xla_attention(q, k, v, scale=scale)
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    out = flash_attention(q, k, v, scale=scale, causal=causal,
+                          block_q=bq, block_k=bk)
+    return out[..., :lq, :]

@@ -7,6 +7,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# this jax build defaults matmuls to bf16-grade precision even on CPU;
+# tests compare against f64/f32 oracles, so pin f32
+jax.config.update("jax_default_matmul_precision", "float32")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

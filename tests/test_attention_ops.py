@@ -1,0 +1,57 @@
+"""Attention / masked-pool kernels vs XLA reference (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ovo_tpu.ops.attention import flash_attention, xla_attention
+from ovo_tpu.ops.masked_pool import (pallas_masked_pool,
+                                     xla_masked_single_query_attention)
+
+
+def test_flash_attention_matches_xla(rng):
+    b, h, l, d = 2, 3, 256, 128
+    q = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    ref = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_causal(rng):
+    b, h, l, d = 1, 2, 256, 128
+    q = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    mask = jnp.tril(jnp.ones((l, l), bool))[None, None]
+    ref = xla_attention(q, k, v, mask=mask)
+    got = flash_attention(q, k, v, causal=True, block_q=128, block_k=128,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_masked_pool_matches_xla(rng):
+    m, h, l, d = 5, 4, 96, 32
+    q = jnp.asarray(rng.standard_normal((m, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((h, l, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((m, l)) > 0.4)
+    mask = mask.at[:, 0].set(True)  # every mask attends to something
+    ref = xla_masked_single_query_attention(q, k, v, mask)
+    got = pallas_masked_pool(q, k, v, mask, scale=d ** -0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_masked_pool_uniform_when_constant_k(rng):
+    """TextRegion quirk: constant k across tokens -> masked MEAN of v."""
+    m, h, l, d = 3, 2, 64, 16
+    q = jnp.asarray(rng.standard_normal((m, h, d)), jnp.float32)
+    k_const = jnp.asarray(rng.standard_normal((h, 1, d)), jnp.float32)
+    k = jnp.broadcast_to(k_const, (h, l, d))
+    v = jnp.asarray(rng.standard_normal((h, l, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((m, l)) > 0.5).at[:, 0].set(True)
+    out = xla_masked_single_query_attention(q, k, v, mask)
+    for i in range(m):
+        mean = np.asarray(v)[:, np.asarray(mask[i]), :].mean(1)
+        np.testing.assert_allclose(np.asarray(out[i]), mean, atol=1e-5)
