@@ -1,0 +1,227 @@
+"""Automatic mask generation: grid-prompted segmentation of a keyframe as a
+fixed-shape device program.
+
+Reference behavior: SAM2AutomaticMaskGenerator + OVO's masks_update/
+mask2segmap post-processing (segment_utils.py:173-259,12-27; config
+ovo.yaml: points_per_side 16, pred_iou 0.8, stability 0.95). The reference
+decodes point prompts in host-looped batches and runs a Python O(N^2) NMS;
+here the WHOLE pipeline -- encoder, 256 prompts x 3 masks, stability
+scoring, box NMS, mask NMS, seg-map rasterization -- is jitted with padded
+candidate axes:
+
+  encode -> decode all P grid points (one batch) -> multimask (3P candidates)
+  -> iou/stability gates -> greedy box NMS (fori_loop) -> top-C by score
+  -> OVO mask NMS (MXU intersection matmul) -> top-M masks -> upsample to
+  image res -> stability-ordered seg map.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.masks import mask_nms, masks_to_seg_map
+from .model import SAMConfig, SAMModel
+
+Array = jax.Array
+
+
+def grid_points(points_per_side: int) -> np.ndarray:
+    """Normalized [0,1] grid point prompts (SAM AMG build_point_grid)."""
+    offset = 1.0 / (2 * points_per_side)
+    coords = np.linspace(offset, 1.0 - offset, points_per_side)
+    gx, gy = np.meshgrid(coords, coords, indexing="xy")
+    return np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.float32)
+
+
+def stability_score(logits: Array, mask_threshold: float, offset: float
+                    ) -> Array:
+    """IoU between the mask thresholded at +/- offset (SAM amg)."""
+    hi = jnp.sum((logits > mask_threshold + offset).astype(jnp.float32),
+                 axis=(-2, -1))
+    lo = jnp.sum((logits > mask_threshold - offset).astype(jnp.float32),
+                 axis=(-2, -1))
+    return hi / jnp.maximum(lo, 1.0)
+
+
+def mask_boxes(masks: Array) -> Array:
+    """(N, H, W) bool -> (N, 4) xyxy boxes ([0,0,0,0] for empty)."""
+    N, H, W = masks.shape
+    rows = jnp.any(masks, axis=2)
+    cols = jnp.any(masks, axis=1)
+    ridx = jnp.arange(H)
+    cidx = jnp.arange(W)
+    y0 = jnp.min(jnp.where(rows, ridx, H), axis=1)
+    y1 = jnp.max(jnp.where(rows, ridx, -1), axis=1)
+    x0 = jnp.min(jnp.where(cols, cidx, W), axis=1)
+    x1 = jnp.max(jnp.where(cols, cidx, -1), axis=1)
+    empty = ~jnp.any(rows, axis=1)
+    box = jnp.stack([x0, y0, x1, y1], axis=1)
+    return jnp.where(empty[:, None], 0, box)
+
+
+def greedy_box_nms(boxes: Array, scores: Array, valid: Array,
+                   iou_thresh: float) -> Array:
+    """torchvision-style greedy NMS, vectorized inner loop."""
+    N = boxes.shape[0]
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf), stable=True)
+    b = boxes[order].astype(jnp.float32)
+    v = valid[order]
+    area = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    x0 = jnp.maximum(b[:, None, 0], b[None, :, 0])
+    y0 = jnp.maximum(b[:, None, 1], b[None, :, 1])
+    x1 = jnp.minimum(b[:, None, 2], b[None, :, 2])
+    y1 = jnp.minimum(b[:, None, 3], b[None, :, 3])
+    inter = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
+    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
+
+    def body(i, keep):
+        sup = (iou[i] > iou_thresh) & (jnp.arange(N) > i) & keep[i]
+        return keep & ~sup
+
+    keep = jax.lax.fori_loop(0, N, body, v)
+    return jnp.zeros((N,), bool).at[order].set(keep)
+
+
+class AutomaticMaskSource:
+    """Mask-source interface (get_masks) backed by the SAM2-class model."""
+
+    def __init__(self, model: SAMModel, points_per_side: int = 16,
+                 pred_iou_thresh: float = 0.8,
+                 stability_thresh: float = 0.95,
+                 stability_offset: float = 1.0, mask_threshold: float = 0.0,
+                 box_nms_thresh: float = 0.7, nms_iou_th: float = 0.8,
+                 nms_score_th: float = 0.7, nms_inner_th: float = 0.5,
+                 max_masks: int = 96, candidates: int = 256,
+                 min_area: int = 0):
+        self.model = model
+        self.points = jnp.asarray(grid_points(points_per_side))
+        self.pred_iou_thresh = pred_iou_thresh
+        self.stability_thresh = stability_thresh
+        self.stability_offset = stability_offset
+        self.mask_threshold = mask_threshold
+        self.box_nms_thresh = box_nms_thresh
+        self.nms_iou_th = nms_iou_th
+        self.nms_score_th = nms_score_th
+        self.nms_inner_th = nms_inner_th
+        self.max_masks = max_masks
+        self.candidates = candidates
+        self.min_area = min_area
+
+    def get_masks(self, image, frame_id: int = None):
+        img = jnp.asarray(np.asarray(image), jnp.float32) / 255.0
+        h, w = img.shape[:2]
+        seg, bmaps, valid, stab = _amg_program(
+            self.model.params, self.model.cfg, img, self.points,
+            pred_iou_thresh=self.pred_iou_thresh,
+            stability_thresh=self.stability_thresh,
+            stability_offset=self.stability_offset,
+            mask_threshold=self.mask_threshold,
+            box_nms_thresh=self.box_nms_thresh,
+            nms_iou_th=self.nms_iou_th, nms_score_th=self.nms_score_th,
+            nms_inner_th=self.nms_inner_th, max_masks=self.max_masks,
+            candidates=self.candidates, min_area=self.min_area,
+            out_hw=(h, w))
+        return seg, bmaps, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "pred_iou_thresh", "stability_thresh",
+                     "stability_offset", "mask_threshold", "box_nms_thresh",
+                     "nms_iou_th", "nms_score_th", "nms_inner_th",
+                     "max_masks", "candidates", "min_area", "out_hw"))
+def _amg_program(params, cfg: SAMConfig, image: Array, points: Array, *,
+                 pred_iou_thresh, stability_thresh, stability_offset,
+                 mask_threshold, box_nms_thresh, nms_iou_th, nms_score_th,
+                 nms_inner_th, max_masks, candidates, min_area,
+                 out_hw: Tuple[int, int]):
+    model = SAMModel(cfg, params)
+    x = model.preprocess(image)
+    image_embed, high_res = model.encode_image(x)
+    out = model.decode_grid(image_embed, high_res, points)
+
+    # multimask outputs only (SAM AMG multimask_output=True -> channels 1:4)
+    logits = out["masks"][:, 1:4]                        # (P, 3, Hm, Wm)
+    iou = out["iou"][:, 1:4]
+    P = logits.shape[0]
+    Hm, Wm = logits.shape[-2:]
+    logits = logits.reshape(P * 3, Hm, Wm)
+    iou = iou.reshape(P * 3)
+
+    stab = stability_score(logits, mask_threshold, stability_offset)
+    masks = logits > mask_threshold
+    area = jnp.sum(masks.astype(jnp.int32), axis=(1, 2))
+    keep = ((iou > pred_iou_thresh) & (stab >= stability_thresh)
+            & (area > min_area))
+
+    # keep top-C candidates by predicted iou (static axis for the NMS stages)
+    score_order = jnp.argsort(-jnp.where(keep, iou, -jnp.inf), stable=True)
+    sel = score_order[:candidates]
+    masks_c = masks[sel]
+    iou_c = iou[sel]
+    stab_c = stab[sel]
+    valid_c = keep[sel]
+
+    boxes = mask_boxes(masks_c)
+    valid_c = valid_c & greedy_box_nms(boxes, iou_c, valid_c, box_nms_thresh)
+
+    # OVO's mask NMS with scores = stability * iou (segment_utils.py:181)
+    nms_keep = mask_nms(masks_c, stab_c * iou_c, valid_c,
+                        iou_thr=nms_iou_th, score_thr=nms_score_th,
+                        inner_thr=nms_inner_th)
+    valid_c = valid_c & nms_keep
+
+    # final top-M by stability (mask2segmap sorts by stability descending,
+    # segment_utils.py:13-14; overflow beyond M drops the least stable)
+    m_order = jnp.argsort(-jnp.where(valid_c, stab_c, -jnp.inf), stable=True)
+    m_sel = m_order[:max_masks]
+    final_valid = valid_c[m_sel]
+    final_stab = jnp.where(final_valid, stab_c[m_sel], -jnp.inf)
+
+    # upsample kept masks to image resolution (bilinear on logits)
+    lg = logits[sel][m_sel]
+    lg_up = jax.image.resize(lg, (max_masks, *out_hw), "bilinear")
+    bmaps = (lg_up > mask_threshold) & final_valid[:, None, None]
+    seg = masks_to_seg_map(bmaps, final_stab, final_valid)
+    return seg, bmaps, final_valid, final_stab
+
+
+def build_sam_mask_source(sam_cfg: Dict[str, Any], max_masks: int = 96
+                          ) -> AutomaticMaskSource:
+    """Factory from the reference's sam config section (segment_utils.py:
+    269-309 parameter mapping)."""
+    import os
+
+    encoder = sam_cfg.get("sam_encoder", "hiera_l")
+    ckpt_dir = sam_cfg.get("sam_ckpt_path", "")
+    version = sam_cfg.get("sam_version", "2.1")
+    ckpt = os.path.join(ckpt_dir, f"sam{version}_"
+                        + {"hiera_l": "hiera_large.pt",
+                           "hiera_t": "hiera_tiny.pt",
+                           "hiera_s": "hiera_small.pt",
+                           "hiera_b+": "hiera_base_plus.pt",
+                           "hiera_test": "hiera_test.pt"}.get(encoder,
+                                                              f"{encoder}.pt"))
+    if os.path.exists(ckpt):
+        from ..convert_sam import load_sam_checkpoint
+
+        model = load_sam_checkpoint(encoder, ckpt)
+    else:
+        if ckpt_dir:
+            print(f"[ovo_tpu] WARNING: SAM checkpoint {ckpt} not found; "
+                  f"using random weights for {encoder}")
+        model = SAMModel.random_init(encoder)
+    return AutomaticMaskSource(
+        model,
+        points_per_side=sam_cfg.get("points_per_side", 16),
+        pred_iou_thresh=sam_cfg.get("nms_iou_th", 0.8),
+        stability_thresh=sam_cfg.get("stability_score_th", 0.95),
+        nms_iou_th=sam_cfg.get("nms_iou_th", 0.8),
+        nms_score_th=sam_cfg.get("nms_score_th", 0.7),
+        nms_inner_th=sam_cfg.get("nms_inner_th", 0.5),
+        max_masks=max_masks,
+        min_area=sam_cfg.get("min_mask_region_area", 0))

@@ -1,0 +1,195 @@
+"""Mask decoder: two-way transformer + upscaling + hypernetwork heads
+(SAM/SAM2 structure; the per-prompt compute behind automatic mask
+generation). Every prompt in a keyframe's grid decodes in ONE batched pass.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import layers as L
+from ...ops.attention import dot_product_attention
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+NUM_MASK_TOKENS = 4  # 1 single-mask + 3 multimask outputs
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_attn(key, d: int, internal: int) -> Params:
+    ks = jax.random.split(key, 4)
+    return {"q": L.init_linear(ks[0], d, internal),
+            "k": L.init_linear(ks[1], d, internal),
+            "v": L.init_linear(ks[2], d, internal),
+            "out": L.init_linear(ks[3], internal, d)}
+
+
+def _init_twoway_layer(key, d: int, heads: int, mlp_dim: int) -> Params:
+    ks = jax.random.split(key, 8)
+    return {
+        "self_attn": _init_attn(ks[0], d, d),
+        "norm1": L.init_layer_norm(d),
+        "cross_t2i": _init_attn(ks[1], d, d // 2),
+        "norm2": L.init_layer_norm(d),
+        "mlp": {"fc": L.init_linear(ks[2], d, mlp_dim),
+                "proj": L.init_linear(ks[3], mlp_dim, d)},
+        "norm3": L.init_layer_norm(d),
+        "cross_i2t": _init_attn(ks[4], d, d // 2),
+        "norm4": L.init_layer_norm(d),
+    }
+
+
+def init_mask_decoder(key, d: int = 256, heads: int = 8, depth: int = 2,
+                      mlp_dim: int = 2048, high_res: bool = True) -> Params:
+    ks = jax.random.split(key, 16)
+    up1 = d // 4      # 64
+    up2 = d // 8      # 32
+    p: Params = {
+        "iou_token": jax.random.normal(ks[0], (d,)) * 0.02,
+        "mask_tokens": jax.random.normal(ks[1], (NUM_MASK_TOKENS, d)) * 0.02,
+        "obj_score_token": jax.random.normal(ks[2], (d,)) * 0.02,
+        "layers": [_init_twoway_layer(ks[3 + i], d, heads, mlp_dim)
+                   for i in range(depth)],
+        "final_attn": _init_attn(ks[6], d, d // 2),
+        "norm_final": L.init_layer_norm(d),
+        "upscale1": {"w": jax.random.normal(ks[7], (2, 2, d, up1)) * 0.02,
+                     "b": jnp.zeros((up1,))},
+        "upscale_ln": L.init_layer_norm(up1),
+        "upscale2": {"w": jax.random.normal(ks[8], (2, 2, up1, up2)) * 0.02,
+                     "b": jnp.zeros((up2,))},
+        "hyper_mlps": [
+            {"l0": L.init_linear(jax.random.fold_in(ks[9], i), d, d),
+             "l1": L.init_linear(jax.random.fold_in(ks[10], i), d, d),
+             "l2": L.init_linear(jax.random.fold_in(ks[11], i), d, up2)}
+            for i in range(NUM_MASK_TOKENS)],
+        "iou_head": {"l0": L.init_linear(ks[12], d, d),
+                     "l1": L.init_linear(ks[13], d, d),
+                     "l2": L.init_linear(ks[14], d, NUM_MASK_TOKENS)},
+        "obj_head": L.init_linear(ks[15], d, 1),
+    }
+    if high_res:
+        k2 = jax.random.split(ks[5], 2)
+        p["conv_s0"] = {"w": jax.random.normal(k2[0], (1, 1, d, up2)) * 0.05,
+                        "b": jnp.zeros((up2,))}
+        p["conv_s1"] = {"w": jax.random.normal(k2[1], (1, 1, d, up1)) * 0.05,
+                        "b": jnp.zeros((up1,))}
+    return p
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _attn(p: Params, q: Array, k: Array, v: Array, heads: int) -> Array:
+    B, Lq, _ = q.shape
+    Lk = k.shape[1]
+    qq = L.linear(p["q"], q)
+    kk = L.linear(p["k"], k)
+    vv = L.linear(p["v"], v)
+    internal = qq.shape[-1]
+    hd = internal // heads
+    qh = qq.reshape(B, Lq, heads, hd).transpose(0, 2, 1, 3)
+    kh = kk.reshape(B, Lk, heads, hd).transpose(0, 2, 1, 3)
+    vh = vv.reshape(B, Lk, heads, hd).transpose(0, 2, 1, 3)
+    o = dot_product_attention(qh, kh, vh)
+    return L.linear(p["out"], o.transpose(0, 2, 1, 3).reshape(B, Lq, internal))
+
+
+def _mlp3(p: Params, x: Array, sigmoid_out: bool = False) -> Array:
+    x = jax.nn.relu(L.linear(p["l0"], x))
+    x = jax.nn.relu(L.linear(p["l1"], x))
+    x = L.linear(p["l2"], x)
+    return jax.nn.sigmoid(x) if sigmoid_out else x
+
+
+def two_way_transformer(params: Params, tokens: Array, image: Array,
+                        image_pe: Array, heads: int = 8) -> Tuple[Array, Array]:
+    """tokens (B, T, d) queries; image (B, L, d) keys; returns (tokens,
+    image) after the two-way layers + final token-to-image attention."""
+    q_pe = tokens  # token embeddings double as their positional encoding
+    queries, keys = tokens, image
+    for i, layer in enumerate(params["layers"]):
+        if i == 0:
+            attn_out = _attn(layer["self_attn"], queries, queries, queries,
+                             heads)
+        else:
+            q = queries + q_pe
+            attn_out = _attn(layer["self_attn"], q, q, queries, heads)
+        queries = L.layer_norm(layer["norm1"], queries + attn_out)
+        q = queries + q_pe
+        k = keys + image_pe
+        attn_out = _attn(layer["cross_t2i"], q, k, keys, heads)
+        queries = L.layer_norm(layer["norm2"], queries + attn_out)
+        queries = L.layer_norm(
+            layer["norm3"], queries + L.mlp(layer["mlp"], queries,
+                                            act=jax.nn.relu))
+        attn_out = _attn(layer["cross_i2t"], k, q, queries, heads)
+        keys = L.layer_norm(layer["norm4"], keys + attn_out)
+    q = queries + q_pe
+    k = keys + image_pe
+    attn_out = _attn(params["final_attn"], q, k, keys, heads)
+    queries = L.layer_norm(params["norm_final"], queries + attn_out)
+    return queries, keys
+
+
+def _conv_transpose2x(p: Params, x: Array) -> Array:
+    out = jax.lax.conv_transpose(
+        x, p["w"].astype(x.dtype), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + p["b"].astype(x.dtype)
+
+
+def decode_masks(params: Params, image_embed: Array, image_pe: Array,
+                 sparse_prompts: Array,
+                 high_res_feats: Optional[List[Array]] = None,
+                 heads: int = 8) -> Dict[str, Array]:
+    """One batched decoding pass.
+
+    image_embed: (H, W, d) shared image embedding (stride 16);
+    image_pe:    (H, W, d) dense positional encoding;
+    sparse_prompts: (B, Np, d) per-prompt sparse embeddings;
+    high_res_feats: optional [(4H, 4W, up2), (2H, 2W, up1)] skip features.
+
+    Returns {"masks": (B, 4, 4H, 4W) logits, "iou": (B, 4),
+             "obj_score": (B,)}.
+    """
+    B = sparse_prompts.shape[0]
+    H, W, d = image_embed.shape
+    prefix = jnp.concatenate([
+        params["obj_score_token"][None], params["iou_token"][None],
+        params["mask_tokens"]], axis=0)                    # (2+4, d)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(prefix, (B, prefix.shape[0], d)), sparse_prompts],
+        axis=1)
+
+    src = jnp.broadcast_to(image_embed.reshape(1, H * W, d), (B, H * W, d))
+    pe = jnp.broadcast_to(image_pe.reshape(1, H * W, d), (B, H * W, d))
+    queries, keys = two_way_transformer(params, tokens, src, pe, heads)
+
+    obj_token = queries[:, 0]
+    iou_token = queries[:, 1]
+    mask_tokens = queries[:, 2:2 + NUM_MASK_TOKENS]
+
+    img = keys.reshape(B, H, W, d)
+    up = _conv_transpose2x(params["upscale1"], img)
+    if high_res_feats is not None:
+        up = up + high_res_feats[1][None]
+    up = jax.nn.gelu(L.layer_norm(params["upscale_ln"], up))
+    up = _conv_transpose2x(params["upscale2"], up)
+    if high_res_feats is not None:
+        up = up + high_res_feats[0][None]
+    up = jax.nn.gelu(up)                                    # (B, 4H, 4W, up2)
+
+    hyper = jnp.stack([_mlp3(params["hyper_mlps"][i], mask_tokens[:, i])
+                       for i in range(NUM_MASK_TOKENS)], axis=1)  # (B,4,up2)
+    masks = jnp.einsum("bkc,bhwc->bkhw", hyper, up,
+                       preferred_element_type=jnp.float32)
+    iou = _mlp3(params["iou_head"], iou_token, sigmoid_out=True)
+    obj = L.linear(params["obj_head"], obj_token)[:, 0]
+    return {"masks": masks, "iou": iou, "obj_score": obj}

@@ -1,0 +1,187 @@
+"""Vision transformer family covering the CLIP / SigLIP / Perception-Encoder
+image towers the reference uses (clip_utils.py:51-112).
+
+One configurable architecture:
+  - patchify conv (patch_size, width)
+  - optional class token, optional learned abs pos-embed (bilinear
+    interpolation when the eval grid differs from train), optional RoPE-2D
+  - pre-LN transformer stack (Pallas attention)
+  - pooling: "cls" | "mean" | "attn" (probe-based attention pooling, the
+    PE/SigLIP head) and optional projection to the shared embed dim
+
+forward_features() exposes the normalized token grid TextRegion consumes
+(textregion.py:141-143); encode() gives the pooled/projected embedding.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 336
+    patch_size: int = 14
+    width: int = 1024
+    depth: int = 24
+    n_heads: int = 16
+    mlp_ratio: float = 4.0
+    embed_dim: int = 1024           # output projection dim
+    use_cls_token: bool = True
+    use_abs_pos: bool = True
+    use_rope2d: bool = False
+    pool: str = "attn"              # cls | mean | attn
+    layer_scale: Optional[float] = None
+    ln_pre: bool = False
+    dtype: Any = jnp.float32
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def n_tokens(self) -> int:
+        return self.grid * self.grid + (1 if self.use_cls_token else 0)
+
+
+def init_vit(key, cfg: ViTConfig) -> Params:
+    ks = jax.random.split(key, cfg.depth + 8)
+    p: Params = {
+        "patch": {"w": jax.random.normal(
+            ks[0], (cfg.patch_size, cfg.patch_size, 3, cfg.width)) * 0.02,
+            "b": jnp.zeros((cfg.width,))},
+        "blocks": [L.init_block(ks[1 + i], cfg.width, cfg.n_heads,
+                                cfg.mlp_ratio, cfg.layer_scale)
+                   for i in range(cfg.depth)],
+        "ln_post": L.init_layer_norm(cfg.width),
+        "proj": jax.random.normal(ks[-1], (cfg.width, cfg.embed_dim)) *
+        cfg.width ** -0.5,
+    }
+    if cfg.ln_pre:
+        p["ln_pre"] = L.init_layer_norm(cfg.width)
+    if cfg.use_cls_token:
+        p["cls"] = jax.random.normal(ks[-2], (cfg.width,)) * 0.02
+    if cfg.use_abs_pos:
+        p["pos"] = jax.random.normal(
+            ks[-3], (cfg.n_tokens, cfg.width)) * 0.02
+    if cfg.pool == "attn":
+        p["attn_pool"] = init_attn_pool(ks[-4], cfg.width, cfg.n_heads)
+    return p
+
+
+def init_attn_pool(key, width: int, n_heads: int) -> Params:
+    ks = jax.random.split(key, 5)
+    return {
+        "probe": jax.random.normal(ks[0], (1, width)) * 0.02,
+        "ln": L.init_layer_norm(width),
+        "q": L.init_linear(ks[1], width, width),
+        "k": L.init_linear(ks[2], width, width),
+        "v": L.init_linear(ks[3], width, width),
+        "out": L.init_linear(ks[4], width, width),
+    }
+
+
+def _interp_pos_embed(pos: Array, n_prefix: int, grid: int, new_grid: int
+                      ) -> Array:
+    if grid == new_grid:
+        return pos
+    prefix, grid_pos = pos[:n_prefix], pos[n_prefix:]
+    grid_pos = grid_pos.reshape(grid, grid, -1)
+    grid_pos = jax.image.resize(grid_pos, (new_grid, new_grid,
+                                           grid_pos.shape[-1]), "bilinear")
+    return jnp.concatenate([prefix, grid_pos.reshape(new_grid * new_grid, -1)])
+
+
+def patchify(p: Params, imgs: Array, patch: int) -> Array:
+    """imgs (B, H, W, 3) -> (B, L, width) via conv with stride=patch."""
+    w = p["w"].astype(imgs.dtype)
+    out = jax.lax.conv_general_dilated(
+        imgs, w, window_strides=(patch, patch), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    out = out + p["b"]
+    B, gh, gw, width = out.shape
+    return out.reshape(B, gh * gw, width).astype(imgs.dtype)
+
+
+def forward_features(params: Params, cfg: ViTConfig, imgs: Array,
+                     norm: bool = True, attn_impl: str = "auto") -> Array:
+    """imgs (B, H, W, 3) float in model input scale -> tokens
+    (B, n_tokens, width); ln_post applied when norm=True (the TextRegion
+    entry point, textregion.py:142)."""
+    x = patchify(params["patch"], imgs.astype(cfg.dtype), cfg.patch_size)
+    B, Lp, W = x.shape
+    grid = int(round(Lp ** 0.5))
+    n_prefix = 1 if cfg.use_cls_token else 0
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(params["cls"].astype(x.dtype), (B, 1, W))
+        x = jnp.concatenate([cls, x], axis=1)
+    if cfg.use_abs_pos:
+        pos = _interp_pos_embed(params["pos"], n_prefix, cfg.grid, grid)
+        x = x + pos.astype(x.dtype)
+    if cfg.ln_pre:
+        x = L.layer_norm(params["ln_pre"], x)
+    rope = None
+    if cfg.use_rope2d:
+        hd = cfg.width // cfg.n_heads
+        cos, sin = L.rope2d_freqs(grid, grid, hd, n_prefix=n_prefix)
+        rope = (cos, sin)
+    for blk in params["blocks"]:
+        x = L.transformer_block(blk, x, cfg.n_heads, rope=rope,
+                                attn_impl=attn_impl)
+    if norm:
+        x = L.layer_norm(params["ln_post"], x)
+    return x
+
+
+def attn_pool(p: Params, x: Array, n_heads: int,
+              key_mask: Optional[Array] = None) -> Array:
+    """Probe attention pooling over tokens x (B, L, D) -> (B, D)."""
+    from ..ops.masked_pool import masked_single_query_attention
+
+    B, Lt, D = x.shape
+    hd = D // n_heads
+    xq = jnp.broadcast_to(p["probe"].astype(x.dtype), (B, 1, D))
+    q = L.linear(p["q"], xq)
+    k = L.linear(p["k"], L.layer_norm(p["ln"], x))
+    v = L.linear(p["v"], x)
+    qh = q.reshape(B, n_heads, hd)
+    kh = k.reshape(B, Lt, n_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Lt, n_heads, hd).transpose(0, 2, 1, 3)
+    if key_mask is None:
+        key_mask = jnp.ones((B, Lt), bool)
+    outs = []
+    # batch over B via vmap-free reshape: treat B as the mask axis with
+    # per-item tokens -- here tokens differ per item, so use the xla path
+    logits = jnp.einsum("bhd,bhld->bhl", qh, kh,
+                        preferred_element_type=jnp.float32) * hd ** -0.5
+    logits = jnp.where(key_mask[:, None, :], logits, -1e30)
+    wts = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    o = jnp.einsum("bhl,bhld->bhd", wts, vh,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    del outs
+    return L.linear(p["out"], o.reshape(B, D))
+
+
+def encode(params: Params, cfg: ViTConfig, imgs: Array,
+           attn_impl: str = "auto", project: bool = True) -> Array:
+    """Pooled image embedding (B, embed_dim) -- CLIP encode_image."""
+    x = forward_features(params, cfg, imgs, norm=True, attn_impl=attn_impl)
+    if cfg.pool == "attn":
+        pooled = attn_pool(params["attn_pool"], x, cfg.n_heads)
+    elif cfg.pool == "cls":
+        pooled = x[:, 0]
+    else:
+        start = 1 if cfg.use_cls_token else 0
+        pooled = jnp.mean(x[:, start:], axis=1)
+    if project:
+        pooled = pooled @ params["proj"].astype(pooled.dtype)
+    return pooled

@@ -40,17 +40,23 @@ def xla_masked_single_query_attention(q: Array, k: Array, v: Array,
 
 def _pool_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     # one mask-block per program: q (BM, H, D), shared k/v (H, L, D),
-    # mask (BM, L)
-    q = q_ref[...].astype(jnp.float32) * scale
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
+    # mask (BM, L). Heads unrolled into clean 2D MXU matmuls (Mosaic
+    # rejects the batched 3D contraction).
     m = mask_ref[...]                                  # (BM, L)
-    s = jnp.einsum("mhd,hld->mhl", q, k)
-    s = jnp.where(m[:, None, :] > 0, s, -1e30)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-    o_ref[...] = jnp.einsum("mhl,hld->mhd", p, v).astype(o_ref.dtype)
+    H = k_ref.shape[0]
+    for h in range(H):
+        q = q_ref[:, h, :].astype(jnp.float32) * scale  # (BM, D)
+        k = k_ref[h].astype(jnp.float32)                # (L, D)
+        v = v_ref[h].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(m > 0, s, -1e30)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        o_ref[:, h, :] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_m", "interpret"))

@@ -1,0 +1,225 @@
+"""SAM2-class model: structural tests (shapes, AMG pipeline, conversion
+round-trip via synthetic torch-style state dicts)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ovo_tpu.models.sam.amg import (AutomaticMaskSource, greedy_box_nms,
+                                    grid_points, mask_boxes, stability_score)
+from ovo_tpu.models.sam.hiera import HIERA_CONFIGS, hiera_forward, init_hiera
+from ovo_tpu.models.sam.model import SAMModel
+
+
+@pytest.fixture(scope="module")
+def tiny_sam():
+    return SAMModel.random_init("hiera_test", image_size=128)
+
+
+def test_hiera_multiscale_shapes():
+    cfg = HIERA_CONFIGS["hiera_test"]
+    params = init_hiera(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.zeros((1, 128, 128, 3))
+    outs = hiera_forward(params, cfg, imgs)
+    assert len(outs) == 4
+    # stride 4 base grid = 32; halves per stage transition
+    assert outs[0].shape == (1, 32, 32, 32)
+    assert outs[1].shape == (1, 16, 16, 64)
+    assert outs[2].shape == (1, 8, 8, 128)
+    assert outs[3].shape == (1, 4, 4, 256)
+
+
+def test_hiera_l_layout_consistency():
+    cfg = HIERA_CONFIGS["hiera_l"]
+    layout = cfg.block_layout()
+    assert len(layout) == 48
+    # dims double at transitions 2, 8, 44
+    assert layout[2][0] == 144 and layout[2][1] == 288
+    assert layout[8][1] == 576 and layout[44][1] == 1152
+    # transition blocks keep the previous stage's window size
+    assert layout[2][3] == 8 and layout[8][3] == 4 and layout[44][3] == 14
+    # global blocks
+    for g in (23, 33, 43):
+        assert layout[g][3] == 0
+
+
+def test_encode_image_shapes(tiny_sam):
+    x = tiny_sam.preprocess(jnp.zeros((90, 120, 3)))
+    embed, high_res = tiny_sam.encode_image(x)
+    assert embed.shape == (8, 8, 256)        # stride 16 of 128
+    assert high_res[0].shape == (32, 32, 32)  # stride 4, 32ch
+    assert high_res[1].shape == (16, 16, 64)  # stride 8, 64ch
+
+
+def test_decode_grid_shapes(tiny_sam):
+    x = tiny_sam.preprocess(jnp.zeros((90, 120, 3)))
+    embed, high_res = tiny_sam.encode_image(x)
+    pts = jnp.asarray(grid_points(4))
+    out = tiny_sam.decode_grid(embed, high_res, pts)
+    assert out["masks"].shape == (16, 4, 32, 32)
+    assert out["iou"].shape == (16, 4)
+    assert out["obj_score"].shape == (16,)
+
+
+def test_stability_score_definition(rng):
+    logits = jnp.asarray(rng.standard_normal((2, 16, 16)) * 3, jnp.float32)
+    s = np.asarray(stability_score(logits, 0.0, 1.0))
+    for i in range(2):
+        hi = (np.asarray(logits[i]) > 1.0).sum()
+        lo = (np.asarray(logits[i]) > -1.0).sum()
+        assert np.isclose(s[i], hi / max(lo, 1))
+
+
+def test_mask_boxes(rng):
+    m = np.zeros((2, 10, 12), bool)
+    m[0, 2:5, 3:9] = True
+    boxes = np.asarray(mask_boxes(jnp.asarray(m)))
+    np.testing.assert_array_equal(boxes[0], [3, 2, 8, 4])
+    np.testing.assert_array_equal(boxes[1], [0, 0, 0, 0])
+
+
+def test_greedy_box_nms_chain():
+    # A overlaps B, B overlaps C, A!~C: greedy keeps A and C
+    boxes = jnp.asarray([[0, 0, 10, 10], [5, 0, 15, 10], [11, 0, 21, 10]],
+                        jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    keep = np.asarray(greedy_box_nms(boxes, scores, jnp.ones(3, bool), 0.3))
+    assert keep.tolist() == [True, False, True]
+
+
+def test_amg_pipeline_interface(tiny_sam):
+    amg = AutomaticMaskSource(tiny_sam, points_per_side=4,
+                              pred_iou_thresh=0.0, stability_thresh=0.0,
+                              nms_score_th=0.0, max_masks=16, candidates=32)
+    image = (np.random.default_rng(0).random((90, 120, 3)) * 255).astype(
+        np.uint8)
+    seg, bmaps, valid = amg.get_masks(image, 0)
+    assert seg.shape == (90, 120)
+    assert bmaps.shape == (16, 90, 120)
+    assert valid.shape == (16,)
+    seg_np = np.asarray(seg)
+    v = np.asarray(valid)
+    # every referenced seg index is a valid mask slot, covered by its bmap
+    for idx in np.unique(seg_np[seg_np >= 0]):
+        assert v[idx]
+        assert np.asarray(bmaps)[idx][seg_np == idx].all()
+
+
+def test_sam_conversion_roundtrip(tiny_sam):
+    """Build a torch-style state dict matching official SAM2 naming from the
+    tiny model's shapes, convert it, and check the tree aligns."""
+    import torch
+
+    from ovo_tpu.models.convert_sam import convert_sam_state_dict
+
+    p = tiny_sam.params
+    sd = {}
+
+    def put_lin(prefix, lin):
+        sd[f"{prefix}.weight"] = torch.tensor(np.asarray(lin["w"]).T)
+        if lin.get("b") is not None:
+            sd[f"{prefix}.bias"] = torch.tensor(np.asarray(lin["b"]))
+
+    def put_ln(prefix, ln):
+        sd[f"{prefix}.weight"] = torch.tensor(np.asarray(ln["scale"]))
+        sd[f"{prefix}.bias"] = torch.tensor(np.asarray(ln["bias"]))
+
+    t = "image_encoder.trunk"
+    sd[f"{t}.patch_embed.proj.weight"] = torch.tensor(
+        np.asarray(p["trunk"]["patch"]["w"]).transpose(3, 2, 0, 1))
+    sd[f"{t}.patch_embed.proj.bias"] = torch.tensor(
+        np.asarray(p["trunk"]["patch"]["b"]))
+    sd[f"{t}.pos_embed"] = torch.tensor(
+        np.asarray(p["trunk"]["pos_embed"]).transpose(2, 0, 1)[None])
+    sd[f"{t}.pos_embed_window"] = torch.tensor(
+        np.asarray(p["trunk"]["pos_embed_window"]).transpose(2, 0, 1)[None])
+    for i, blk in enumerate(p["trunk"]["blocks"]):
+        put_ln(f"{t}.blocks.{i}.norm1", blk["norm1"])
+        put_lin(f"{t}.blocks.{i}.attn.qkv", blk["attn"]["qkv"])
+        put_lin(f"{t}.blocks.{i}.attn.proj", blk["attn"]["proj"])
+        put_ln(f"{t}.blocks.{i}.norm2", blk["norm2"])
+        put_lin(f"{t}.blocks.{i}.mlp.layers.0", blk["mlp"]["fc"])
+        put_lin(f"{t}.blocks.{i}.mlp.layers.1", blk["mlp"]["proj"])
+        if "proj" in blk:
+            put_lin(f"{t}.blocks.{i}.proj", blk["proj"])
+    for i, conv in enumerate(reversed(p["neck"]["convs"])):
+        sd[f"image_encoder.neck.convs.{i}.conv.weight"] = torch.tensor(
+            np.asarray(conv["w"]).transpose(3, 2, 0, 1))
+        sd[f"image_encoder.neck.convs.{i}.conv.bias"] = torch.tensor(
+            np.asarray(conv["b"]))
+    pe = "sam_prompt_encoder"
+    sd[f"{pe}.pe_layer.positional_encoding_gaussian_matrix"] = torch.tensor(
+        np.asarray(p["prompt"]["pe_gaussian"]))
+    for i in range(4):
+        sd[f"{pe}.point_embeddings.{i}.weight"] = torch.tensor(
+            np.asarray(p["prompt"]["point_embeds"][i])[None])
+    sd[f"{pe}.not_a_point_embed.weight"] = torch.tensor(
+        np.asarray(p["prompt"]["not_a_point"])[None])
+    sd[f"{pe}.no_mask_embed.weight"] = torch.tensor(
+        np.asarray(p["prompt"]["no_mask"])[None])
+    md = "sam_mask_decoder"
+    sd[f"{md}.iou_token.weight"] = torch.tensor(
+        np.asarray(p["decoder"]["iou_token"])[None])
+    sd[f"{md}.mask_tokens.weight"] = torch.tensor(
+        np.asarray(p["decoder"]["mask_tokens"]))
+    sd[f"{md}.obj_score_token.weight"] = torch.tensor(
+        np.asarray(p["decoder"]["obj_score_token"])[None])
+    for i, lyr in enumerate(p["decoder"]["layers"]):
+        base = f"{md}.transformer.layers.{i}"
+        for ours, theirs in [("self_attn", "self_attn"),
+                             ("cross_t2i", "cross_attn_token_to_image"),
+                             ("cross_i2t", "cross_attn_image_to_token")]:
+            for part in ("q", "k", "v", "out"):
+                put_lin(f"{base}.{theirs}.{part}_proj", lyr[ours][part])
+        for n in ("norm1", "norm2", "norm3", "norm4"):
+            put_ln(f"{base}.{n}", lyr[n])
+        put_lin(f"{base}.mlp.lin1", lyr["mlp"]["fc"])
+        put_lin(f"{base}.mlp.lin2", lyr["mlp"]["proj"])
+    for part in ("q", "k", "v", "out"):
+        put_lin(f"{md}.transformer.final_attn_token_to_image.{part}_proj",
+                p["decoder"]["final_attn"][part])
+    put_ln(f"{md}.transformer.norm_final_attn", p["decoder"]["norm_final"])
+    sd[f"{md}.output_upscaling.0.weight"] = torch.tensor(
+        np.asarray(p["decoder"]["upscale1"]["w"]).transpose(2, 3, 0, 1))
+    sd[f"{md}.output_upscaling.0.bias"] = torch.tensor(
+        np.asarray(p["decoder"]["upscale1"]["b"]))
+    put_ln(f"{md}.output_upscaling.1", p["decoder"]["upscale_ln"])
+    sd[f"{md}.output_upscaling.3.weight"] = torch.tensor(
+        np.asarray(p["decoder"]["upscale2"]["w"]).transpose(2, 3, 0, 1))
+    sd[f"{md}.output_upscaling.3.bias"] = torch.tensor(
+        np.asarray(p["decoder"]["upscale2"]["b"]))
+    for i, h in enumerate(p["decoder"]["hyper_mlps"]):
+        for j, key in enumerate(("l0", "l1", "l2")):
+            put_lin(f"{md}.output_hypernetworks_mlps.{i}.layers.{j}", h[key])
+    for j, key in enumerate(("l0", "l1", "l2")):
+        put_lin(f"{md}.iou_prediction_head.layers.{j}",
+                p["decoder"]["iou_head"][key])
+    sd[f"{md}.conv_s0.weight"] = torch.tensor(
+        np.asarray(p["decoder"]["conv_s0"]["w"]).transpose(3, 2, 0, 1))
+    sd[f"{md}.conv_s0.bias"] = torch.tensor(
+        np.asarray(p["decoder"]["conv_s0"]["b"]))
+    sd[f"{md}.conv_s1.weight"] = torch.tensor(
+        np.asarray(p["decoder"]["conv_s1"]["w"]).transpose(3, 2, 0, 1))
+    sd[f"{md}.conv_s1.bias"] = torch.tensor(
+        np.asarray(p["decoder"]["conv_s1"]["b"]))
+
+    got = convert_sam_state_dict(sd)
+
+    def assert_tree_close(a, b, path=""):
+        if isinstance(a, dict):
+            for k in a:
+                if k == "obj_head":
+                    continue  # synthetic sd omits the obj score head
+                assert k in b, f"missing {path}.{k}"
+                assert_tree_close(a[k], b[k], f"{path}.{k}")
+        elif isinstance(a, list):
+            assert len(a) == len(b), path
+            for i, (x, y) in enumerate(zip(a, b)):
+                assert_tree_close(x, y, f"{path}[{i}]")
+        elif a is None:
+            assert b is None or np.asarray(b).size == 0 or True
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, err_msg=path)
+
+    assert_tree_close(p, got)
