@@ -9,6 +9,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The sandbox's sitecustomize force-registers the axon TPU plugin and the
+# env var alone does not stick -- the config API wins. Tests must run on the
+# 8-device virtual CPU mesh, not the single real chip.
+jax.config.update("jax_platforms", "cpu")
+
 # this jax build defaults matmuls to bf16-grade precision even on CPU;
 # tests compare against f64/f32 oracles, so pin f32
 jax.config.update("jax_default_matmul_precision", "float32")
