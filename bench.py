@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""End-to-end keyframe-throughput benchmark on the attached TPU.
+
+Measures the full per-keyframe semantic hot path at the reference's default
+Replica configuration (SURVEY.md section 3.1 call stack), with all state
+device-resident exactly as in the online pipeline:
+
+  SAM2-class AMG (hiera_l @ 1024, 16x16 grid prompts, NMS, seg map)
+  -> projective association over a 2M-point map (frustum/match/votes/fusion)
+  -> TextRegion per-segment embedding (PE-Core-L14-336, multi-res crops,
+     masked-pool Pallas kernel)
+  -> instance descriptor fusion (streaming mean)
+
+Weights are randomly initialized (checkpoints are not shipped in-image);
+shapes, capacities and compute are identical to a weighted run -- every
+stage is fixed-shape, so FLOPs do not depend on weight values.
+
+Baseline: the reference publishes no keyframes/sec (BASELINE.md); its
+single-GPU pipeline is dominated by SAM2-L AMG + PE-L forwards at ~1 s per
+keyframe on an RTX-class GPU, so vs_baseline is reported against an assumed
+1.0 keyframes/sec reference (BASELINE.json north star is >=10x).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
+
+import numpy as np
+
+ASSUMED_REFERENCE_KEYFRAMES_PER_SEC = 1.0
+
+H, W = 680, 1200          # Replica frame geometry
+N_POINTS = 2 ** 21        # map capacity
+N_INSTANCES = 1024
+M_MASKS = 96
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ovo_tpu.mapping import association, instances as inst
+    from ovo_tpu.mapping.instances import init_instance_store
+    from ovo_tpu.mapping.map_state import init_map_state, map_insert_frame
+    from ovo_tpu.models.clip import CLIPModel
+    from ovo_tpu.models.sam.amg import AutomaticMaskSource
+    from ovo_tpu.models.sam.model import SAMModel
+    from ovo_tpu.models.textregion import TextRegionEmbedder
+
+    encoder = os.environ.get("OVO_BENCH_SAM", "hiera_l")
+    sam_size = int(os.environ.get("OVO_BENCH_SAM_SIZE", "1024"))
+
+    def bf16_params(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+    sam = SAMModel.random_init(encoder, image_size=sam_size)
+    sam.params = bf16_params(sam.params)   # halve the HBM weight footprint
+    amg = AutomaticMaskSource(sam, points_per_side=16, max_masks=M_MASKS,
+                              pred_iou_thresh=0.0, stability_thresh=0.0,
+                              nms_score_th=0.0)
+    clip = CLIPModel.random_init("PE-Core-L14-336")
+    clip.params = bf16_params(clip.params)
+    embedder = TextRegionEmbedder(clip)
+
+    rng = np.random.default_rng(0)
+    K = np.array([[600.0, 0, 599.5], [0, 600.0, 339.5], [0, 0, 1]],
+                 np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    # distinct frames, pre-staged on device (the online pipeline overlaps
+    # its one small H2D per frame with compute)
+    images = [jnp.asarray((rng.random((H, W, 3)) * 255).astype(np.uint8))
+              for _ in range(4)]
+    depth = rng.uniform(1.0, 3.0, (H, W)).astype(np.float32)
+
+    state = init_map_state(N_POINTS)
+    state = map_insert_frame(state, images[0], jnp.asarray(depth),
+                             jnp.asarray(c2w), jnp.asarray(K))
+    store = init_instance_store(N_INSTANCES, clip.cfg.clip_dim)
+    depth_dev = jnp.asarray(depth)
+    c2w_dev = jnp.asarray(c2w)
+    K_dev = jnp.asarray(K)
+
+    def keyframe_step(state, store, kf_id):
+        img = images[kf_id % len(images)]
+        seg, bmaps, valid = amg.get_masks(img, kf_id)
+        state, store, match = association.associate_keyframe(
+            state, store, seg, bmaps, valid, depth_dev, c2w_dev, K_dev,
+            jnp.asarray(kf_id, jnp.int32), match_distance_th=0.05,
+            track_th=100, use_depth_filter=True, unbounded_top_k=True)
+        descs = embedder.embed_masks(img, match.fused_maps, match.keep)
+        store = inst.update_descriptors(
+            store, match.ins_ids, descs.astype(jnp.float32),
+            jnp.asarray(kf_id, jnp.int32), match.keep)
+        state = map_insert_frame(state, img, depth_dev, c2w_dev, K_dev)
+        return state, store, match
+
+    for i in range(WARMUP):
+        state, store, match = keyframe_step(state, store, i)
+    np.asarray(store.desc_cnt)  # full sync (remote runtimes may treat
+    # block_until_ready as a hint; an actual fetch is authoritative)
+
+    t0 = time.time()
+    for i in range(ITERS):
+        state, store, match = keyframe_step(state, store, WARMUP + i)
+        # force full completion of this frame's chain: desc_cnt depends on
+        # AMG -> association -> TextRegion -> descriptor update; count on
+        # the map insert
+        np.asarray(store.desc_cnt[:8])
+        np.asarray(state.count)
+    dt = time.time() - t0
+
+    fps = ITERS / dt
+    print(json.dumps({
+        "metric": "keyframes_per_sec_semantic_hot_path",
+        "value": round(fps, 3),
+        "unit": "keyframes/s",
+        "vs_baseline": round(fps / ASSUMED_REFERENCE_KEYFRAMES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        sys.exit(main())
+    except Exception as e:  # the sandboxed TPU worker occasionally restarts
+        if os.environ.get("OVO_BENCH_RETRY") != "1":
+            sys.stderr.write(f"bench attempt failed ({type(e).__name__}); "
+                             "retrying once on a fresh runtime\n")
+            os.environ["OVO_BENCH_RETRY"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise

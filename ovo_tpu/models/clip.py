@@ -59,7 +59,8 @@ MODEL_REGISTRY: Dict[str, CLIPModelConfig] = {
         name="PE-Core-L14-336",
         vision=ViTConfig(image_size=336, patch_size=14, width=1024, depth=24,
                          n_heads=16, embed_dim=1024, use_cls_token=True,
-                         use_abs_pos=True, use_rope2d=True, pool="attn"),
+                         use_abs_pos=True, use_rope2d=True, pool="attn",
+                         dtype=jnp.bfloat16),
         text=TextConfig(vocab_size=49408, context_length=32, width=1024,
                         depth=24, n_heads=16, embed_dim=1024, causal=True,
                         pool="argmax"),

@@ -112,7 +112,9 @@ class AutomaticMaskSource:
         self.min_area = min_area
 
     def get_masks(self, image, frame_id: int = None):
-        img = jnp.asarray(np.asarray(image), jnp.float32) / 255.0
+        # NOTE: jnp.asarray keeps device arrays on device (no host round
+        # trip); uint8 frames upload once and normalize on device
+        img = jnp.asarray(image).astype(jnp.float32) / 255.0
         h, w = img.shape[:2]
         seg, bmaps, valid, stab = _amg_program(
             self.model.params, self.model.cfg, img, self.points,

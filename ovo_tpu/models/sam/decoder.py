@@ -161,15 +161,17 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
     """
     B = sparse_prompts.shape[0]
     H, W, d = image_embed.shape
+    cdtype = image_embed.dtype
     prefix = jnp.concatenate([
         params["obj_score_token"][None], params["iou_token"][None],
-        params["mask_tokens"]], axis=0)                    # (2+4, d)
+        params["mask_tokens"]], axis=0).astype(cdtype)     # (2+4, d)
     tokens = jnp.concatenate(
-        [jnp.broadcast_to(prefix, (B, prefix.shape[0], d)), sparse_prompts],
-        axis=1)
+        [jnp.broadcast_to(prefix, (B, prefix.shape[0], d)),
+         sparse_prompts.astype(cdtype)], axis=1)
 
     src = jnp.broadcast_to(image_embed.reshape(1, H * W, d), (B, H * W, d))
-    pe = jnp.broadcast_to(image_pe.reshape(1, H * W, d), (B, H * W, d))
+    pe = jnp.broadcast_to(image_pe.reshape(1, H * W, d).astype(cdtype),
+                          (B, H * W, d))
     queries, keys = two_way_transformer(params, tokens, src, pe, heads)
 
     obj_token = queries[:, 0]

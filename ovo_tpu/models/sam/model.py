@@ -30,10 +30,15 @@ class SAMConfig:
     encoder: str = "hiera_l"
     image_size: int = 1024
     d_model: int = 256
+    compute_dtype: str = "bfloat16"   # MXU-native inference precision
 
     @property
     def hiera(self) -> HieraConfig:
         return HIERA_CONFIGS[self.encoder]
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
 
 class SAMModel:
@@ -65,7 +70,7 @@ class SAMModel:
         (SAM2 predictor convention)."""
         s = self.cfg.image_size
         img = jax.image.resize(image, (s, s, 3), "bilinear")
-        return ((img - self._mean) / self._std)[None]
+        return ((img - self._mean) / self._std)[None].astype(self.cfg.dtype)
 
     def encode_image(self, image: Array) -> Tuple[Array, List[Array]]:
         """-> (image_embed (H16, W16, d), high_res [(H4, W4, 32),

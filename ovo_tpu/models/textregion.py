@@ -165,8 +165,10 @@ def _textregion_program(params: Dict[str, Any], cfg, image: Array,
     pooled = L.linear(pool["out"], pooled.reshape(M, D))
 
     if not project:
-        return pooled
-    region = pooled @ params["visual"]["proj"].astype(pooled.dtype)
+        return pooled.astype(jnp.float32)
+    # project + normalize in f32: descriptors are accumulated/compared
+    # downstream and bf16 normalization would cost similarity precision
+    region = pooled.astype(jnp.float32) @ params["visual"]["proj"]
     return _normalize(region)
 
 

@@ -39,29 +39,27 @@ def xla_masked_single_query_attention(q: Array, k: Array, v: Array,
 
 
 def _pool_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    # one mask-block per program: q (BM, H, D), shared k/v (H, L, D),
-    # mask (BM, L). Heads unrolled into clean 2D MXU matmuls (Mosaic
-    # rejects the batched 3D contraction).
+    # one (head, mask-block) pair per program: q (1, BM, D), k/v (1, L, D)
+    # for this head only (streamed via the grid so VMEM holds one head's
+    # tokens, not all heads), mask (BM, L). Clean 2D MXU matmuls.
     m = mask_ref[...]                                  # (BM, L)
-    H = k_ref.shape[0]
-    for h in range(H):
-        q = q_ref[:, h, :].astype(jnp.float32) * scale  # (BM, D)
-        k = k_ref[h].astype(jnp.float32)                # (L, D)
-        v = v_ref[h].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = jnp.where(m > 0, s, -1e30)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-        o_ref[:, h, :] = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    q = q_ref[0].astype(jnp.float32) * scale           # (BM, D)
+    k = k_ref[0].astype(jnp.float32)                   # (L, D)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = jnp.where(m > 0, s, -1e30)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_m", "interpret"))
 def pallas_masked_pool(q: Array, k: Array, v: Array, key_mask: Array, *,
-                       scale: float, block_m: int = 8,
+                       scale: float, block_m: int = 32,
                        interpret: bool = False) -> Array:
     M, H, D = q.shape
     L = k.shape[1]
@@ -71,20 +69,21 @@ def pallas_masked_pool(q: Array, k: Array, v: Array, key_mask: Array, *,
         q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
         key_mask = jnp.pad(key_mask, ((0, pad), (0, 0)))
     mask_f = key_mask.astype(jnp.float32)
+    q_hmd = q.transpose(1, 0, 2)                       # (H, M', D)
     out = pl.pallas_call(
         functools.partial(_pool_kernel, scale=scale),
-        grid=((M + pad) // bm,),
+        grid=(H, (M + pad) // bm),
         in_specs=[
-            pl.BlockSpec((bm, H, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((H, L, D), lambda i: (0, 0, 0)),
-            pl.BlockSpec((H, L, D), lambda i: (0, 0, 0)),
-            pl.BlockSpec((bm, L), lambda i: (i, 0)),
+            pl.BlockSpec((1, bm, D), lambda h, i: (h, i, 0)),
+            pl.BlockSpec((1, L, D), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((bm, L), lambda h, i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((bm, H, D), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((M + pad, H, D), q.dtype),
+        out_specs=pl.BlockSpec((1, bm, D), lambda h, i: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((H, M + pad, D), q.dtype),
         interpret=interpret,
-    )(q, k, v, mask_f)
-    return out[:M]
+    )(q_hmd, k, v, mask_f)
+    return out.transpose(1, 0, 2)[:M]
 
 
 def masked_single_query_attention(q: Array, k: Array, v: Array,
