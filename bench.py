@@ -103,9 +103,13 @@ def main():
         return state, store, match
 
     for i in range(WARMUP):
+        sys.stderr.write(f"[bench] warmup {i}\n")
+        sys.stderr.flush()
         state, store, match = keyframe_step(state, store, i)
-    np.asarray(store.desc_cnt)  # full sync (remote runtimes may treat
-    # block_until_ready as a hint; an actual fetch is authoritative)
+        np.asarray(store.desc_cnt[:8])  # full sync (remote runtimes may
+        # treat block_until_ready as a hint; a fetch is authoritative)
+    sys.stderr.write("[bench] warmup done, timing\n")
+    sys.stderr.flush()
 
     t0 = time.time()
     for i in range(ITERS):
@@ -130,9 +134,11 @@ if __name__ == "__main__":
     try:
         sys.exit(main())
     except Exception as e:  # the sandboxed TPU worker occasionally restarts
-        if os.environ.get("OVO_BENCH_RETRY") != "1":
-            sys.stderr.write(f"bench attempt failed ({type(e).__name__}); "
-                             "retrying once on a fresh runtime\n")
-            os.environ["OVO_BENCH_RETRY"] = "1"
+        attempt = int(os.environ.get("OVO_BENCH_RETRY", "0"))
+        if attempt < 3:
+            sys.stderr.write(f"bench attempt {attempt} failed "
+                             f"({type(e).__name__}); retrying on a fresh "
+                             "runtime\n")
+            os.environ["OVO_BENCH_RETRY"] = str(attempt + 1)
             os.execv(sys.executable, [sys.executable] + sys.argv)
         raise

@@ -1,0 +1,175 @@
+"""Differentiable 3D-gaussian splatting for the Gaussian-SLAM backbone tier.
+
+Replaces the reference's CUDA ``gaussian_rasterizer``
+(/root/reference/ovo/submodules/gaussian_slam/utils/utils.py:117-183) with a
+TPU-native tile-based renderer in pure JAX:
+
+  project gaussians -> per-tile top-K selection by depth (fixed K keeps
+  shapes static) -> front-to-back alpha compositing per pixel.
+
+Everything is jnp, so color/depth/alpha gradients flow to every gaussian
+parameter through plain autodiff -- no hand-written VJP. Designed for the
+mapping/tracking optimization loops (hundreds of thousands of gaussians,
+depth-sorted compositing like 3DGS).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class RenderOutput(NamedTuple):
+    color: Array   # (H, W, 3)
+    depth: Array   # (H, W)
+    alpha: Array   # (H, W)
+    radii: Array   # (G,) screen-space radius (0 = culled)
+
+
+def quat_to_rotmat(q: Array) -> Array:
+    """(G, 4) wxyz quaternions -> (G, 3, 3) rotations."""
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)], -1),
+    ], -2)
+
+
+def project_gaussians(xyz: Array, scales: Array, quats: Array, w2c: Array,
+                      K: Array, img_hw: Tuple[int, int]
+                      ) -> Dict[str, Array]:
+    """EWA projection: 3D covariance -> 2D screen-space covariance."""
+    H, W = img_hw
+    R = quat_to_rotmat(quats)                      # (G, 3, 3)
+    S = jax.vmap(jnp.diag)(scales)                 # (G, 3, 3)
+    M = R @ S
+    cov3d = M @ jnp.swapaxes(M, -1, -2)            # (G, 3, 3)
+
+    Rcw = w2c[:3, :3]
+    t = w2c[:3, 3]
+    cam = xyz @ Rcw.T + t                          # (G, 3)
+    z = cam[:, 2]
+    in_front = z > 0.05
+    zs = jnp.where(in_front, z, 1.0)
+    u = K[0, 0] * cam[:, 0] / zs + K[0, 2]
+    v = K[1, 1] * cam[:, 1] / zs + K[1, 2]
+
+    fx, fy = K[0, 0], K[1, 1]
+    J = jnp.zeros((xyz.shape[0], 2, 3))
+    J = J.at[:, 0, 0].set(fx / zs)
+    J = J.at[:, 0, 2].set(-fx * cam[:, 0] / (zs * zs))
+    J = J.at[:, 1, 1].set(fy / zs)
+    J = J.at[:, 1, 2].set(-fy * cam[:, 1] / (zs * zs))
+    T = J @ Rcw                                    # (G, 2, 3)
+    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)    # (G, 2, 2)
+    # low-pass (anti-alias) like 3DGS: +0.3 px
+    cov2d = cov2d + 0.3 * jnp.eye(2)
+    det = (cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] ** 2)
+    det = jnp.maximum(det, 1e-9)
+    inv = jnp.stack([
+        jnp.stack([cov2d[:, 1, 1], -cov2d[:, 0, 1]], -1),
+        jnp.stack([-cov2d[:, 0, 1], cov2d[:, 0, 0]], -1)], -2) / det[:, None, None]
+    mid = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
+    lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam))
+    on_screen = (u + radius > 0) & (u - radius < W) & \
+        (v + radius > 0) & (v - radius < H)
+    visible = in_front & on_screen
+    return {"uv": jnp.stack([u, v], -1), "z": z, "conic": inv,
+            "radius": jnp.where(visible, radius, 0.0), "visible": visible}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("img_hw", "tile", "k_per_tile"))
+def render_gaussians(xyz: Array, scales: Array, quats: Array,
+                     opacity: Array, colors: Array, valid: Array,
+                     w2c: Array, K: Array, *, img_hw: Tuple[int, int],
+                     tile: int = 16, k_per_tile: int = 64) -> RenderOutput:
+    """Render (color, depth, alpha). All inputs padded to capacity G with a
+    ``valid`` mask; opacity already sigmoid-ed, scales exp-ed, colors in
+    [0,1] (SH DC term)."""
+    H, W = img_hw
+    G = xyz.shape[0]
+    proj = project_gaussians(xyz, scales, quats, w2c, K, img_hw)
+    visible = proj["visible"] & valid
+    uv, z, conic = proj["uv"], proj["z"], proj["conic"]
+    radius = proj["radius"]
+
+    n_ty = -(-H // tile)
+    n_tx = -(-W // tile)
+    k_per_tile = min(k_per_tile, G)
+
+    # tile assignment: a gaussian touches tiles overlapped by its radius box
+    # -> per-tile top-K nearest (by z). Scored selection keeps shapes static.
+    tx0 = jnp.clip(((uv[:, 0] - radius) // tile).astype(jnp.int32), 0, n_tx - 1)
+    tx1 = jnp.clip(((uv[:, 0] + radius) // tile).astype(jnp.int32), 0, n_tx - 1)
+    ty0 = jnp.clip(((uv[:, 1] - radius) // tile).astype(jnp.int32), 0, n_ty - 1)
+    ty1 = jnp.clip(((uv[:, 1] + radius) // tile).astype(jnp.int32), 0, n_ty - 1)
+
+    def tile_select(ti):
+        ty, tx = ti // n_tx, ti % n_tx
+        touches = visible & (tx >= tx0) & (tx <= tx1) & (ty >= ty0) & (ty <= ty1)
+        score = jnp.where(touches, -z, -jnp.inf)   # nearest first
+        top = jax.lax.top_k(score, k_per_tile)
+        idx = top[1]
+        ok = jnp.isfinite(top[0])
+        return idx, ok
+
+    tile_idx, tile_ok = jax.vmap(tile_select)(jnp.arange(n_ty * n_tx))
+
+    # per-tile compositing
+    py = jnp.arange(tile)
+    px = jnp.arange(tile)
+    gy, gx = jnp.meshgrid(py, px, indexing="ij")
+
+    def composite(ti, idx, ok):
+        ty, tx = ti // n_tx, ti % n_tx
+        ys = (ty * tile + gy).astype(jnp.float32)
+        xs = (tx * tile + gx).astype(jnp.float32)
+        sel_uv = uv[idx]
+        sel_conic = conic[idx]
+        sel_op = opacity[idx]
+        sel_col = colors[idx]
+        sel_z = z[idx]
+        # sort selected by depth (top_k of -z gives ascending z already)
+        dx = xs[None] - sel_uv[:, 0, None, None]
+        dy = ys[None] - sel_uv[:, 1, None, None]
+        power = -0.5 * (sel_conic[:, 0, 0, None, None] * dx * dx
+                        + sel_conic[:, 1, 1, None, None] * dy * dy
+                        + 2 * sel_conic[:, 0, 1, None, None] * dx * dy)
+        alpha = jnp.clip(sel_op[:, None, None] * jnp.exp(power), 0.0, 0.999)
+        alpha = jnp.where(ok[:, None, None], alpha, 0.0)
+        # front-to-back: T_i = prod_{j<i} (1 - a_j)
+        one_m = 1.0 - alpha
+        trans = jnp.concatenate(
+            [jnp.ones((1, tile, tile)), jnp.cumprod(one_m, axis=0)[:-1]],
+            axis=0)
+        w = alpha * trans                            # (k, t, t)
+        color = jnp.einsum("kij,kc->ijc", w, sel_col,
+                           preferred_element_type=jnp.float32)
+        depth = jnp.einsum("kij,k->ij", w, sel_z,
+                           preferred_element_type=jnp.float32)
+        acc = jnp.sum(w, axis=0)
+        return color, depth, acc
+
+    colors_t, depth_t, acc_t = jax.vmap(composite)(
+        jnp.arange(n_ty * n_tx), tile_idx, tile_ok)
+
+    def untile(x):
+        c = x.shape[3:]
+        img = x.reshape(n_ty, n_tx, tile, tile, *c)
+        img = jnp.moveaxis(img, 2, 1).reshape(n_ty * tile, n_tx * tile, *c)
+        return img[:H, :W]
+
+    return RenderOutput(color=untile(colors_t), depth=untile(depth_t),
+                        alpha=untile(acc_t),
+                        radii=jnp.where(visible, radius, 0.0))

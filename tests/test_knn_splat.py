@@ -1,0 +1,139 @@
+"""Tests for the device kNN ops (simple-knn / faiss equivalents,
+SURVEY.md section 2.6) and the differentiable gaussian splatter
+(gaussian_rasterizer equivalent, reference utils.py:117-183)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ovo_tpu.ops.knn import approx_knn_mean_dist, radius_dedup_mask
+from ovo_tpu.ops.splat import render_gaussians
+
+
+def _brute_knn_mean(pts, k):
+    d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    return np.sort(d, axis=1)[:, :k].mean(axis=1)
+
+
+def test_knn_mean_dist_close_to_brute_force():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1, (512, 3)).astype(np.float32)
+    valid = np.ones(512, bool)
+    approx = np.asarray(approx_knn_mean_dist(jnp.asarray(pts),
+                                             jnp.asarray(valid), k=3))
+    exact = _brute_knn_mean(pts, 3)
+    # Morton-window approximation: demand strong rank agreement on the
+    # robust statistic, not exactness.
+    rel = np.abs(approx - exact) / np.maximum(exact, 1e-9)
+    assert np.median(rel) < 0.05
+    assert np.mean(rel < 0.5) > 0.95
+
+
+def test_knn_mean_dist_ignores_invalid():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 1, (256, 3)).astype(np.float32)
+    valid = np.ones(256, bool)
+    valid[200:] = False
+    # put the invalid points right on top of point 0: must not count
+    pts[200:] = pts[0]
+    out = np.asarray(approx_knn_mean_dist(jnp.asarray(pts),
+                                          jnp.asarray(valid)))
+    assert out[0] > 1e-4
+    assert np.all(out[200:] == 0)
+
+
+def test_radius_dedup_matches_brute_force():
+    rng = np.random.default_rng(2)
+    ref = rng.uniform(0, 1, (300, 3)).astype(np.float32)
+    new = rng.uniform(0, 1, (200, 3)).astype(np.float32)
+    new[:50] = ref[:50] + 1e-4          # duplicates -> must be dropped
+    radius = 0.02
+    keep = np.asarray(radius_dedup_mask(
+        jnp.asarray(new), jnp.ones(200, bool),
+        jnp.asarray(ref), jnp.ones(300, bool), radius))
+    d = np.linalg.norm(new[:, None] - ref[None], axis=-1).min(axis=1)
+    exact = d >= radius
+    assert not keep[:50].any()
+    agree = (keep == exact).mean()
+    assert agree > 0.97
+
+
+def _simple_scene(n=8):
+    rng = np.random.default_rng(3)
+    xyz = np.zeros((n, 3), np.float32)
+    xyz[:, 0] = np.linspace(-0.5, 0.5, n)
+    xyz[:, 2] = 2.0 + 0.1 * rng.standard_normal(n)
+    scales = np.full((n, 3), 0.05, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    opacity = np.full((n,), 0.9, np.float32)
+    colors = rng.uniform(0.2, 1.0, (n, 3)).astype(np.float32)
+    K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]], np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    return xyz, scales, quats, opacity, colors, K, w2c
+
+
+def test_splat_renders_gaussian_at_projection():
+    xyz, scales, quats, opacity, colors, K, w2c = _simple_scene(1)
+    xyz[0] = [0, 0, 2.0]
+    out = render_gaussians(jnp.asarray(xyz), jnp.asarray(scales),
+                           jnp.asarray(quats), jnp.asarray(opacity),
+                           jnp.asarray(colors), jnp.ones(1, bool),
+                           jnp.asarray(w2c), jnp.asarray(K),
+                           img_hw=(64, 64), tile=16, k_per_tile=8)
+    alpha = np.asarray(out.alpha)
+    assert alpha[32, 32] > 0.5
+    assert alpha[0, 0] < 1e-3
+    # rendered depth at center ~ z / alpha-weighted
+    depth = np.asarray(out.depth)
+    assert abs(depth[32, 32] / max(alpha[32, 32], 1e-6) - 2.0) < 0.05
+    col = np.asarray(out.color)[32, 32] / max(alpha[32, 32], 1e-6)
+    assert np.allclose(col, colors[0], atol=0.05)
+
+
+def test_splat_depth_ordering_front_occludes_back():
+    xyz, scales, quats, opacity, colors, K, w2c = _simple_scene(2)
+    xyz[0] = [0, 0, 1.5]
+    xyz[1] = [0, 0, 3.0]
+    opacity[:] = 0.99
+    colors[0] = [1, 0, 0]
+    colors[1] = [0, 1, 0]
+    out = render_gaussians(jnp.asarray(xyz), jnp.asarray(scales),
+                           jnp.asarray(quats), jnp.asarray(opacity),
+                           jnp.asarray(colors), jnp.ones(2, bool),
+                           jnp.asarray(w2c), jnp.asarray(K),
+                           img_hw=(64, 64), tile=16, k_per_tile=8)
+    col = np.asarray(out.color)[32, 32]
+    assert col[0] > 0.8 and col[1] < 0.2
+
+
+def test_splat_gradients_flow_to_all_params():
+    xyz, scales, quats, opacity, colors, K, w2c = _simple_scene(4)
+    target = jnp.zeros((64, 64, 3))
+
+    def loss(xyz, scales, opacity, colors):
+        out = render_gaussians(jnp.asarray(xyz), scales,
+                               jnp.asarray(quats), opacity, colors,
+                               jnp.ones(4, bool), jnp.asarray(w2c),
+                               jnp.asarray(K), img_hw=(64, 64),
+                               tile=16, k_per_tile=8)
+        return jnp.abs(out.color - target).mean()
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(opacity),
+        jnp.asarray(colors))
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_splat_invalid_gaussians_do_not_render():
+    xyz, scales, quats, opacity, colors, K, w2c = _simple_scene(2)
+    xyz[:] = [0, 0, 2.0]
+    valid = jnp.asarray(np.array([False, False]))
+    out = render_gaussians(jnp.asarray(xyz), jnp.asarray(scales),
+                           jnp.asarray(quats), jnp.asarray(opacity),
+                           jnp.asarray(colors), valid,
+                           jnp.asarray(w2c), jnp.asarray(K),
+                           img_hw=(64, 64), tile=16, k_per_tile=8)
+    assert np.asarray(out.alpha).max() < 1e-6
