@@ -216,11 +216,12 @@ def build_sam_mask_source(sam_cfg: Dict[str, Any], max_masks: int = 96
         if ckpt_dir:
             print(f"[ovo_tpu] WARNING: SAM checkpoint {ckpt} not found; "
                   f"using random weights for {encoder}")
-        model = SAMModel.random_init(encoder)
+        model = SAMModel.random_init(
+            encoder, image_size=sam_cfg.get("image_size", 1024))
     return AutomaticMaskSource(
         model,
         points_per_side=sam_cfg.get("points_per_side", 16),
-        pred_iou_thresh=sam_cfg.get("nms_iou_th", 0.8),
+        pred_iou_thresh=sam_cfg.get("pred_iou_th", 0.8),
         stability_thresh=sam_cfg.get("stability_score_th", 0.95),
         nms_iou_th=sam_cfg.get("nms_iou_th", 0.8),
         nms_score_th=sam_cfg.get("nms_score_th", 0.7),

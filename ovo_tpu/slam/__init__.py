@@ -5,8 +5,9 @@ def get_slam_backbone(config, dataset, cam_intrinsics):
     """Backbone factory (reference: ovomapping.py:18-27)."""
     backbone = config["slam"].get("slam_module", "vanilla")
     if backbone == "gaussian_slam":
-        raise NotImplementedError(
-            "gaussian_slam backbone tier is not built yet in this round")
+        from .gaussian import WrapperGaussianSLAM
+
+        return WrapperGaussianSLAM(config, cam_intrinsics)
     if backbone.startswith("orbslam"):
         from .orbslam import WrapperORBSLAM
 

@@ -1,0 +1,170 @@
+"""Gaussian-SLAM backbone tier behind the common backbone interface.
+
+Reference behavior: /root/reference/ovo/slam/gaussian_slam.py:13-91 (adapts
+the vendored Gaussian-SLAM: Tracker.track per frame over a [0, i-2, i-1]
+pose window, Mapper.map per mapping frame; the semantic side sees gaussian
+means + stable ids + obj_ids exactly like the vanilla point map) and
+sem_gaussian_model.py:10-179 (ids/obj_ids carried through model updates).
+
+TPU redesign: the gaussian map is a fixed-capacity ``GaussianState``;
+tracking and submap optimization are single jitted ``fori_loop`` programs
+(tracker.py / mapper.py in this package). The semantic view is a compaction
+of live slots into the standard ``MapState`` layout; instance-id writebacks
+scatter through the cached compaction permutation.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...mapping.map_state import MapState
+from .mapper import MapperConfig, map_keyframe
+from .model import (GaussianState, from_gaussian_map_dict, gaussian_map_dict,
+                    init_gaussian_state)
+from .tracker import const_speed_extrapolate, track_pose
+
+
+class WrapperGaussianSLAM:
+    def __init__(self, config: Dict[str, Any], cam_intrinsics) -> None:
+        self.config = config
+        self.K = jnp.asarray(np.asarray(cam_intrinsics), jnp.float32)
+        mapping = config.get("mapping", {})
+        tracking = config.get("tracking", {}) or {}
+        capacity = int(mapping.get("n_gaussians_capacity", 2 ** 20))
+        self.state: GaussianState = init_gaussian_state(capacity)
+        self.cfg = MapperConfig(
+            iters=int(mapping.get("iterations", 60)),
+            prune_opacity_th=float(mapping.get("prune_opacity_th", 0.1)),
+            max_seeds=int(mapping.get("max_seeds", 16384)),
+            dedup_radius=float(mapping.get("dedup_radius", 0.02)),
+            k_per_tile=int(mapping.get("k_per_tile", 64)),
+        )
+        self.track_iters = int(tracking.get("iterations", 60))
+        self.gt_camera = bool(tracking.get("gt_camera", False))
+        self.kf_window = int(mapping.get("keyframe_window", 6))
+        self.new_submap_every = int(mapping.get("new_submap_every", 50))
+        self.estimated_c2ws: Dict[int, np.ndarray] = {}
+        self.kfs: Dict[int, Any] = {}
+        self._kf_images: List[np.ndarray] = []
+        self._kf_depths: List[np.ndarray] = []
+        self._kf_w2cs: List[np.ndarray] = []
+        self._n_mapped = 0
+        self._view_perm: Optional[jnp.ndarray] = None
+        self.map_updated = False
+
+    # -- tracking --------------------------------------------------------
+    def track_camera(self, frame_data: List[Any]) -> None:
+        frame_id, image, depth, gt_c2w = frame_data[:4]
+        gt_ok = not (np.isinf(gt_c2w).any() or np.isnan(gt_c2w).any())
+        prev = sorted(self.estimated_c2ws)
+        if self.gt_camera or len(prev) < 2 or self._n_mapped == 0:
+            if gt_ok:
+                self.estimated_c2ws[frame_id] = np.asarray(gt_c2w, np.float32)
+            return
+        # const-speed init over the previous two tracked poses
+        # (tracker.py:119-131 / gaussian_slam.py:47-55)
+        c2w0 = jnp.asarray(self.estimated_c2ws[prev[-2]])
+        c2w1 = jnp.asarray(self.estimated_c2ws[prev[-1]])
+        c2w_init = const_speed_extrapolate(c2w0, c2w1)
+        img = jnp.asarray(np.asarray(image, np.float32) / 255.0
+                          if np.asarray(image).dtype == np.uint8
+                          else np.asarray(image, np.float32))
+        dep = jnp.asarray(np.asarray(depth, np.float32))
+        res = track_pose(self.state, img, dep, jnp.linalg.inv(c2w_init),
+                         self.K, img_hw=dep.shape,
+                         iters=self.track_iters,
+                         k_per_tile=self.cfg.k_per_tile)
+        c2w = np.asarray(jnp.linalg.inv(res.w2c), np.float32)
+        self.estimated_c2ws[frame_id] = c2w
+
+    def get_c2w(self, frame_id: int):
+        return self.estimated_c2ws.get(frame_id)
+
+    # -- mapping ---------------------------------------------------------
+    def map(self, frame_data: List[Any], c2w) -> None:
+        frame_id, image, depth = frame_data[0], frame_data[1], frame_data[2]
+        img_np = np.asarray(image)
+        img = jnp.asarray(img_np.astype(np.float32) / 255.0
+                          if img_np.dtype == np.uint8
+                          else img_np.astype(np.float32))
+        dep = jnp.asarray(np.asarray(depth, np.float32))
+        w2c = jnp.linalg.inv(jnp.asarray(np.asarray(c2w, np.float32)))
+
+        self._kf_images.append(np.asarray(img, np.float32))
+        self._kf_depths.append(np.asarray(dep, np.float32))
+        self._kf_w2cs.append(np.asarray(w2c, np.float32))
+        if len(self._kf_images) > self.kf_window:
+            self._kf_images.pop(0)
+            self._kf_depths.pop(0)
+            self._kf_w2cs.pop(0)
+
+        is_new_submap = (self._n_mapped % self.new_submap_every) == 0
+        # pad the window to a FIXED kf_window (repeat the newest keyframe)
+        # so the jitted optimize program compiles exactly once
+        n_live = len(self._kf_images)
+        pad = self.kf_window - n_live
+
+        def stack_pad(lst):
+            return jnp.asarray(np.stack(lst + [lst[-1]] * pad))
+
+        self.state = map_keyframe(
+            self.state, img, dep, w2c, self.K,
+            stack_pad(self._kf_images), stack_pad(self._kf_depths),
+            stack_pad(self._kf_w2cs),
+            is_new_submap=is_new_submap, seed=frame_id,
+            n_live_kfs=n_live, img_hw=dep.shape, cfg=self.cfg)
+        self.kfs[frame_id] = None
+        self._n_mapped += 1
+        self._view_perm = None  # map changed; invalidate the semantic view
+
+    # -- semantic-side view (MapState compaction) ------------------------
+    def _perm(self) -> jnp.ndarray:
+        if self._view_perm is None:
+            self._view_perm = jnp.argsort(~self.state.valid, stable=True)
+        return self._view_perm
+
+    def get_map(self) -> MapState:
+        perm = self._perm()
+        st = self.state
+        colors_u8 = (st.colors() * 255.0).astype(jnp.uint8)
+        return MapState(
+            points=st.xyz[perm],
+            point_ids=jnp.where(st.valid[perm], st.ids[perm], -1),
+            obj_ids=jnp.where(st.valid[perm], st.obj_ids[perm], -1),
+            colors=colors_u8[perm],
+            count=st.valid.sum().astype(jnp.int32),
+            next_point_id=st.next_id,
+        )
+
+    def update_pcd_obj_ids(self, state_or_ids) -> None:
+        perm = self._perm()
+        obj = (state_or_ids.obj_ids if isinstance(state_or_ids, MapState)
+               else jnp.asarray(state_or_ids, jnp.int32))
+        new_obj = self.state.obj_ids.at[perm].set(obj)
+        self.state = self.state._replace(
+            obj_ids=jnp.where(self.state.valid, new_obj,
+                              self.state.obj_ids))
+
+    def get_pcd_colors(self) -> np.ndarray:
+        m = self.get_map()
+        return np.asarray(m.colors[: int(m.count)])
+
+    def get_kfs(self):
+        return self.kfs
+
+    # -- checkpointing (sem_gaussian_model.py capture layout) -------------
+    def get_map_dict(self) -> Dict[str, Any]:
+        return gaussian_map_dict(self.state)
+
+    def set_map_dict(self, d: Dict[str, Any]) -> None:
+        self.state = from_gaussian_map_dict(d, self.state.capacity)
+        self._view_perm = None
+
+    def get_cam_dict(self) -> Dict[int, np.ndarray]:
+        return {k: np.asarray(v) for k, v in self.estimated_c2ws.items()}
+
+    def set_cam_dict(self, cam_dict: Dict[Any, Any]) -> None:
+        self.estimated_c2ws = {int(k): np.asarray(v, np.float32)
+                               for k, v in cam_dict.items()}

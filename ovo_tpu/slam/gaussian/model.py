@@ -1,0 +1,180 @@
+"""Fixed-capacity gaussian map state for the Gaussian-SLAM tier.
+
+Reference behavior: gaussian_model.py:25-409 + sem_gaussian_model.py:10-179
+(/root/reference/ovo/submodules/gaussian_slam/entities/, /root/reference/ovo/
+slam/). The reference grows torch parameter tensors and rebuilds the Adam
+state on every densify/prune; on TPU the map is a preallocated struct-of-
+arrays pytree with a ``valid`` mask — add = prefix-sum scatter-append into
+free slots, prune = clearing valid bits — so the optimizer state keeps its
+shape and every mapping iteration stays one compiled program.
+
+Semantic extension (sem_gaussian_model.py): per-gaussian stable ``ids`` and
+instance ``obj_ids`` ride along through add/prune, so the semantic side sees
+the gaussian map exactly like the vanilla point map.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.knn import approx_knn_mean_dist
+
+Array = jax.Array
+
+SH_C0 = 0.28209479177387814
+
+
+class GaussianState(NamedTuple):
+    xyz: Array            # (G, 3) f32 means (world)
+    f_dc: Array           # (G, 3) f32 SH DC coefficients
+    scales_log: Array     # (G, 3) f32 log-scales
+    quats: Array          # (G, 4) f32 wxyz rotations
+    opacity_logit: Array  # (G,)   f32 pre-sigmoid opacity
+    ids: Array            # (G,)   i32 stable point ids (-1 = free)
+    obj_ids: Array        # (G,)   i32 instance ids (-1 = unassigned)
+    valid: Array          # (G,)   bool live slots
+    next_id: Array        # ()     i32
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+    # --- activations (gaussian_model.py get_* properties) ---------------
+    def scales(self) -> Array:
+        return jnp.exp(self.scales_log)
+
+    def opacity(self) -> Array:
+        return jax.nn.sigmoid(self.opacity_logit)
+
+    def colors(self) -> Array:
+        """SH DC term -> RGB in [0, 1] (gaussian_model_utils.py SH eval)."""
+        return jnp.clip(SH_C0 * self.f_dc + 0.5, 0.0, 1.0)
+
+
+def init_gaussian_state(capacity: int) -> GaussianState:
+    return GaussianState(
+        xyz=jnp.zeros((capacity, 3), jnp.float32),
+        f_dc=jnp.zeros((capacity, 3), jnp.float32),
+        scales_log=jnp.full((capacity, 3), -10.0, jnp.float32),
+        quats=jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                       (capacity, 1)),
+        opacity_logit=jnp.full((capacity,), -10.0, jnp.float32),
+        ids=jnp.full((capacity,), -1, jnp.int32),
+        obj_ids=jnp.full((capacity,), -1, jnp.int32),
+        valid=jnp.zeros((capacity,), bool),
+        next_id=jnp.zeros((), jnp.int32),
+    )
+
+
+def rgb_to_sh(rgb: Array) -> Array:
+    return (rgb - 0.5) / SH_C0
+
+
+@jax.jit
+def add_points(state: GaussianState, points: Array, colors: Array,
+               new_mask: Array) -> GaussianState:
+    """Seed gaussians at ``points[new_mask]`` (gaussian_model.py:127-160
+    ``add_points``): scale init = log(mean 3-NN distance) isotropic, opacity
+    logit ~ sigmoid^-1(0.5), identity rotation. Appends into FREE slots
+    (compacted via prefix sums), dropping overflow."""
+    free = ~state.valid
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1     # rank among free
+    slot_of_rank = jnp.full((state.capacity,), state.capacity, jnp.int32)
+    slot_of_rank = slot_of_rank.at[jnp.where(
+        free, free_rank, state.capacity)].set(
+        jnp.arange(state.capacity, dtype=jnp.int32), mode="drop")
+
+    order = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    n_new = new_mask.astype(jnp.int32).sum()
+    dest = slot_of_rank.at[jnp.where(new_mask, order, state.capacity)].get(
+        mode="fill", fill_value=state.capacity)
+
+    # scale init from mean NN distance among the incoming batch (the
+    # reference calls distCUDA2 on the concatenated cloud; new points
+    # dominate their own neighbourhoods, so batch-local kNN suffices)
+    nn = approx_knn_mean_dist(points, new_mask, k=3)
+    scale = jnp.log(jnp.sqrt(jnp.maximum(nn, 1e-7)))[:, None].repeat(3, 1)
+
+    ids = state.next_id + order
+    st = state
+    return GaussianState(
+        xyz=st.xyz.at[dest].set(points.astype(jnp.float32), mode="drop"),
+        f_dc=st.f_dc.at[dest].set(rgb_to_sh(colors.astype(jnp.float32)),
+                                  mode="drop"),
+        scales_log=st.scales_log.at[dest].set(scale, mode="drop"),
+        quats=st.quats.at[dest].set(
+            jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                     (points.shape[0], 1)), mode="drop"),
+        opacity_logit=st.opacity_logit.at[dest].set(
+            jnp.zeros(points.shape[0]), mode="drop"),
+        ids=st.ids.at[dest].set(ids.astype(jnp.int32), mode="drop"),
+        obj_ids=st.obj_ids.at[dest].set(
+            jnp.full((points.shape[0],), -1, jnp.int32), mode="drop"),
+        valid=st.valid.at[dest].set(jnp.ones(points.shape[0], bool),
+                                    mode="drop"),
+        next_id=(st.next_id + n_new).astype(jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def prune_by_opacity(state: GaussianState, threshold: float,
+                     protect_mask: Array | None = None) -> GaussianState:
+    """Clear slots whose opacity fell below ``threshold`` (mapper.py mid/
+    final opacity pruning). ``protect_mask`` keeps e.g. this submap's seeds."""
+    drop = state.valid & (jax.nn.sigmoid(state.opacity_logit) < threshold)
+    if protect_mask is not None:
+        drop = drop & ~protect_mask
+    return state._replace(valid=state.valid & ~drop,
+                          ids=jnp.where(drop, -1, state.ids),
+                          obj_ids=jnp.where(drop, -1, state.obj_ids))
+
+
+def n_valid(state: GaussianState) -> int:
+    return int(state.valid.sum())
+
+
+# --- checkpoint dicts (sem_gaussian_model.py:33-38 capture layout) -------
+
+def gaussian_map_dict(state: GaussianState) -> dict:
+    import numpy as np
+
+    live = np.asarray(state.valid)
+    idx = np.nonzero(live)[0]
+    return {
+        "xyz": np.asarray(state.xyz)[idx],
+        "obj_ids": np.asarray(state.obj_ids)[idx].reshape(-1, 1),
+        "ids": np.asarray(state.ids)[idx].reshape(-1, 1),
+        "max_id": int(state.next_id),
+        "color": (np.clip(SH_C0 * np.asarray(state.f_dc)[idx] + 0.5, 0, 1)
+                  * 255).astype(np.uint8),
+        "f_dc": np.asarray(state.f_dc)[idx],
+        "scales_log": np.asarray(state.scales_log)[idx],
+        "quats": np.asarray(state.quats)[idx],
+        "opacity_logit": np.asarray(state.opacity_logit)[idx],
+    }
+
+
+def from_gaussian_map_dict(d: dict, capacity: int) -> GaussianState:
+    import numpy as np
+
+    xyz = np.asarray(d["xyz"], np.float32)
+    n = xyz.shape[0]
+    if capacity < n:
+        raise ValueError(f"capacity {capacity} < checkpoint gaussians {n}")
+    st = init_gaussian_state(capacity)
+    set_ = lambda arr, key, dt: arr.at[:n].set(  # noqa: E731
+        np.asarray(d[key], dt).reshape((n,) + arr.shape[1:]))
+    return GaussianState(
+        xyz=st.xyz.at[:n].set(xyz),
+        f_dc=set_(st.f_dc, "f_dc", np.float32),
+        scales_log=set_(st.scales_log, "scales_log", np.float32),
+        quats=set_(st.quats, "quats", np.float32),
+        opacity_logit=set_(st.opacity_logit, "opacity_logit", np.float32),
+        ids=set_(st.ids, "ids", np.int32),
+        obj_ids=set_(st.obj_ids, "obj_ids", np.int32),
+        valid=st.valid.at[:n].set(True),
+        next_id=jnp.asarray(int(d["max_id"]), jnp.int32),
+    )
