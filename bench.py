@@ -111,6 +111,35 @@ def main():
     sys.stderr.write("[bench] warmup done, timing\n")
     sys.stderr.flush()
 
+    if os.environ.get("OVO_BENCH_STAGES") == "1":
+        # per-stage breakdown (reference stat names t_sam/t_obj/t_clip)
+        import jax
+
+        img = images[0]
+        for name, fn in (
+            ("t_sam", lambda: amg.get_masks(img, 99)),
+            ("t_obj", lambda: association.associate_keyframe(
+                state, store, seg_w, bmaps_w, valid_w, depth_dev, c2w_dev,
+                K_dev, jnp.asarray(99, jnp.int32), match_distance_th=0.05,
+                track_th=100, use_depth_filter=True, unbounded_top_k=True)),
+            ("t_clip", lambda: embedder.embed_masks(img, fused_w, keep_w)),
+        ):
+            if name == "t_sam":
+                seg_w, bmaps_w, valid_w = fn()
+                jax.block_until_ready(seg_w)
+            elif name == "t_obj":
+                _, _, match_w = fn()
+                fused_w, keep_w = match_w.fused_maps, match_w.keep
+                jax.block_until_ready(keep_w)
+            else:
+                jax.block_until_ready(fn())
+            t0 = time.time()
+            for _ in range(4):
+                out = fn()
+                jax.block_until_ready(out)
+            sys.stderr.write(f"[bench] {name}: {(time.time()-t0)/4:.4f}s\n")
+        sys.stderr.flush()
+
     t0 = time.time()
     for i in range(ITERS):
         state, store, match = keyframe_step(state, store, WARMUP + i)

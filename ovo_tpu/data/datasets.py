@@ -188,8 +188,94 @@ class Matterport(BaseDataset):
         return index, color, depth, self.poses[index]
 
 
+class TUM_RGBD(BaseDataset):
+    """TUM RGB-D with timestamp association (reference: gaussian_slam
+    datasets.py:81-174 -- rgb/depth/groundtruth lists associated by nearest
+    timestamp within ``max_dt``)."""
+
+    def __init__(self, dataset_config: Dict):
+        super().__init__(dataset_config)
+        self._load_tum(self.dataset_path,
+                       frame_rate=dataset_config.get("frame_rate", 32))
+        print(f"Loaded {len(self.color_paths)} frames")
+
+    @staticmethod
+    def _parse_list(filepath, skiprows=0):
+        return np.loadtxt(filepath, delimiter=" ", dtype=str,
+                          skiprows=skiprows)
+
+    @staticmethod
+    def _associate_frames(tstamp_image, tstamp_depth, tstamp_pose,
+                          max_dt: float = 0.08):
+        associations = []
+        for i, t in enumerate(tstamp_image):
+            j = np.argmin(np.abs(tstamp_depth - t))
+            if tstamp_pose is None:
+                if np.abs(tstamp_depth[j] - t) < max_dt:
+                    associations.append((i, j))
+            else:
+                k = np.argmin(np.abs(tstamp_pose - t))
+                if (np.abs(tstamp_depth[j] - t) < max_dt
+                        and np.abs(tstamp_pose[k] - t) < max_dt):
+                    associations.append((i, j, k))
+        return associations
+
+    def _load_tum(self, datapath: Path, frame_rate: int = -1):
+        from scipy.spatial.transform import Rotation
+
+        if (datapath / "groundtruth.txt").exists():
+            pose_list = datapath / "groundtruth.txt"
+        else:
+            pose_list = datapath / "pose.txt"
+        image_data = self._parse_list(datapath / "rgb.txt", skiprows=3)
+        depth_data = self._parse_list(datapath / "depth.txt", skiprows=3)
+        pose_data = self._parse_list(pose_list, skiprows=3)
+        pose_vecs = pose_data[:, 1:].astype(np.float64)
+
+        tstamp_image = image_data[:, 0].astype(np.float64)
+        tstamp_depth = depth_data[:, 0].astype(np.float64)
+        tstamp_pose = pose_data[:, 0].astype(np.float64)
+        assoc = self._associate_frames(tstamp_image, tstamp_depth,
+                                       tstamp_pose)
+
+        # subsample to frame_rate (reference keeps frames spaced >= 1/rate)
+        indices = [0]
+        for i in range(1, len(assoc)):
+            t0 = tstamp_image[assoc[indices[-1]][0]]
+            t1 = tstamp_image[assoc[i][0]]
+            if frame_rate <= 0 or t1 - t0 > 1.0 / frame_rate:
+                indices.append(i)
+
+        for ix in indices:
+            i, j, k = assoc[ix]
+            self.color_paths.append(datapath / image_data[i, 1])
+            self.depth_paths.append(datapath / depth_data[j, 1])
+            quat = pose_vecs[k][3:]          # tx ty tz qx qy qz qw
+            trans = pose_vecs[k][:3]
+            c2w = np.eye(4)
+            c2w[:3, :3] = Rotation.from_quat(quat).as_matrix()
+            c2w[:3, 3] = trans
+            self.poses.append(c2w.astype(np.float32))
+
+    def __getitem__(self, index):
+        color = cv2.imread(str(self.color_paths[index]))
+        if self.distortion is not None:
+            K = np.eye(3)
+            K[0, 0], K[1, 1] = self.fx, self.fy
+            K[0, 2], K[1, 2] = self.cx, self.cy
+            color = cv2.undistort(color, K, self.distortion)
+        color = cv2.cvtColor(color, cv2.COLOR_BGR2RGB).astype(np.uint8)
+        depth = cv2.imread(str(self.depth_paths[index]), cv2.IMREAD_UNCHANGED)
+        depth = depth.astype(np.float32) / self.depth_scale
+        edge = self.crop_edge
+        if edge > 0:
+            color = color[edge:-edge, edge:-edge]
+            depth = depth[edge:-edge, edge:-edge]
+        return index, color, depth, self.poses[index]
+
+
 _REGISTRY = {"replica": Replica, "scannet": ScanNet, "scannetpp": ScanNetPP,
-             "matterport": Matterport}
+             "matterport": Matterport, "tum_rgbd": TUM_RGBD}
 
 
 def get_dataset(dataset_name: str):

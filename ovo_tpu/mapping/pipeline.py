@@ -56,6 +56,22 @@ class OVOSemMap:
         self.slam_backbone = get_slam_backbone(config, self.dataset,
                                                cam_intrinsics)
 
+        # live-viewer stream + cross-process query handshake
+        # (ovomapping.py:128-135,190-207)
+        # kernel-level tracing (SURVEY 5.1: reference has only wall timing;
+        # here a jax.profiler trace of the first N segment steps on demand)
+        self.profile_trace = config.get("profile_trace")
+        self.profile_trace_steps = int(config.get("profile_trace_steps", 3))
+        self._trace_state = 0  # 0 idle, >0 steps traced, -1 done
+
+        vis_cfg = config.get("vis") or {}
+        self.stream = bool(vis_cfg.get("stream", False))
+        self.show_stream = bool(vis_cfg.get("show_stream", False))
+        self.pcd_queue = None
+        self.query_pipe = None
+        self.query_flag = None
+        self.viewer_proc = None
+
         self.first_frame = 0
         if config.get("restore_map", False):
             assert config["slam"].get("slam_module", "vanilla") == "vanilla", \
@@ -92,17 +108,120 @@ class OVOSemMap:
             print("Restoring without camera positions!")
 
     # ------------------------------------------------------------------
+    def enable_stream(self, spawn_process: bool = True, queries=None):
+        """Set up the viewer stream. With ``spawn_process`` a separate OS
+        process runs ``viz.visualizer.stream_pcd`` (headless it exports
+        snapshots and can issue scripted ``queries``); without, the caller
+        gets the viewer-side handles (queue, conn, flag) to drive the
+        handshake directly (used by tests)."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        self.pcd_queue = ctx.Queue()
+        self.query_flag = ctx.Value("i", 0)
+        parent_conn, child_conn = ctx.Pipe()
+        self.query_pipe = parent_conn
+        if spawn_process:
+            from ..viz.visualizer import stream_pcd
+
+            self.viewer_proc = ctx.Process(
+                target=stream_pcd,
+                args=(self.pcd_queue, child_conn, self.query_flag,
+                      str(self.output_path / "stream_out"),
+                      self.show_stream, queries))
+            self.viewer_proc.start()
+            return None
+        return self.pcd_queue, child_conn, self.query_flag
+
+    def _stream_frame(self) -> None:
+        state = self.slam_backbone.get_map()
+        n = int(state.count)
+        self.pcd_queue.put((np.asarray(state.points[:n]),
+                            np.asarray(state.obj_ids[:n]),
+                            np.asarray(state.colors[:n])))
+
+    def _serve_stream_query(self, timeout: float = 30.0) -> None:
+        """Mapper side of the query round-trip (ovomapping.py:200-207):
+        flag==1 -> recv query, drain the CLIP queue, compute per-point
+        similarities, send them back, flag=2."""
+        with self.query_flag.get_lock():
+            pending = self.query_flag.value == 1
+        if not pending or not self.query_pipe.poll(timeout):
+            return
+        query = self.query_pipe.recv()
+        self.ovo.complete_semantic_info()
+        state = self.slam_backbone.get_map()
+        n = int(state.count)
+        obj_ids = np.asarray(state.obj_ids[:n])
+        from ..viz.visualizer import Visualizer
+
+        vals = Visualizer(self.ovo).query_values_per_point(obj_ids, query)
+        self.query_pipe.send(vals)
+        with self.query_flag.get_lock():
+            self.query_flag.value = 2
+
+    def _close_stream(self) -> None:
+        if self.pcd_queue is not None:
+            # grace period: the viewer may not have consumed the last frame
+            # or may have a query in flight
+            t0 = time.time()
+            while time.time() - t0 < 5.0:
+                self._serve_stream_query(timeout=0.05)
+                try:
+                    drained = self.pcd_queue.qsize() == 0
+                except NotImplementedError:  # macOS
+                    drained = True
+                with self.query_flag.get_lock():
+                    idle = self.query_flag.value == 0
+                if drained and idle:
+                    break
+                time.sleep(0.02)
+            self.pcd_queue.put(None)
+        if self.viewer_proc is not None:
+            self.viewer_proc.join(timeout=90)
+            if self.viewer_proc.is_alive():
+                self.viewer_proc.terminate()
+            self.viewer_proc = None
+        elif self.pcd_queue is not None:
+            # no consumer: the queue's feeder thread would block interpreter
+            # shutdown on unflushed frames
+            self.pcd_queue.cancel_join_thread()
+
+    # ------------------------------------------------------------------
+    def _frame_schedule(self):
+        return [fid for fid in range(self.first_frame, len(self.dataset))
+                if (self.track_every == 1 or fid % self.track_every == 0
+                    or fid % self.map_every == 0
+                    or fid % self.segment_every == 0)]
+
     def run(self) -> None:
+        if self.stream and self.pcd_queue is None:
+            self.enable_stream(spawn_process=True)
         spf = []
         t_start = time.time()
-        for frame_id in range(self.first_frame, len(self.dataset)):
-            on_cadence = (self.track_every == 1
-                          or frame_id % self.track_every == 0
-                          or frame_id % self.map_every == 0
-                          or frame_id % self.segment_every == 0)
-            if not on_cadence:
-                continue
-            frame_data = self.dataset[frame_id]
+
+        # SPSC host prefetch: disk IO + decode overlap device compute
+        # (SURVEY 5.8 double-buffered feeding; the reference reads frames
+        # synchronously in-loop, ovomapping.py:141)
+        import queue as _queue
+        import threading
+
+        schedule = self._frame_schedule()
+        prefetch: _queue.Queue = _queue.Queue(maxsize=4)
+
+        def _producer():
+            for fid in schedule:
+                prefetch.put((fid, self.dataset[fid]))
+            prefetch.put(None)
+
+        producer = threading.Thread(target=_producer, daemon=True)
+        producer.start()
+
+        while True:
+            item = prefetch.get()
+            if item is None:
+                break
+            frame_id, frame_data = item
             self.slam_backbone.track_camera(frame_data)
             c2w = self.slam_backbone.get_c2w(frame_id)
             missing_depth = not (frame_data[2] > 0).any()
@@ -126,6 +245,10 @@ class OVOSemMap:
 
             t_sem = 0.0
             if frame_id % self.segment_every == 0:
+                if self.profile_trace and self._trace_state == 0:
+                    import jax
+
+                    jax.profiler.start_trace(str(self.profile_trace))
                 t0 = time.time()
                 # segmentation runs on the full-res image when the dataset
                 # provides one (ScanNet 5-tuple, ovomapping.py:166-177)
@@ -146,11 +269,27 @@ class OVOSemMap:
                 self.ovo.compute_semantic_info()
                 self.logger.log_memory_usage(frame_id)
                 t_sem = time.time() - t0
+                if self.pcd_queue is not None:
+                    self._stream_frame()
+                    self._serve_stream_query()
+                if self.profile_trace and self._trace_state >= 0:
+                    self._trace_state += 1
+                    if self._trace_state > self.profile_trace_steps:
+                        import jax
+
+                        jax.profiler.stop_trace()
+                        self._trace_state = -1
 
             if t_sem + t_lc > 0:
                 spf.append(t_sem + t_lc)
 
+        if self.profile_trace and self._trace_state > 0:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._trace_state = -1
         self.ovo.complete_semantic_info()
+        self._close_stream()
         t_end = time.time()
         fps = len(self.dataset) / self.segment_every / (t_end - t_start)
 

@@ -43,6 +43,20 @@ class WrapperGaussianSLAM:
         )
         self.track_iters = int(tracking.get("iterations", 60))
         self.gt_camera = bool(tracking.get("gt_camera", False))
+        self.adaptive_loss_th = float(tracking.get("adaptive_loss_th", 0.0))
+        self.odometer = None
+        if tracking.get("init", "const_speed") == "odometry":
+            try:
+                from .odometer import VisualOdometer
+
+                K = np.asarray(cam_intrinsics)
+                self.odometer = VisualOdometer(float(K[0, 0]),
+                                               float(K[1, 1]),
+                                               float(K[0, 2]),
+                                               float(K[1, 2]))
+            except OSError as e:  # native library not built
+                print(f"[ovo_tpu] odometry init unavailable ({e}); "
+                      "falling back to const-speed")
         self.kf_window = int(mapping.get("keyframe_window", 6))
         self.new_submap_every = int(mapping.get("new_submap_every", 50))
         self.estimated_c2ws: Dict[int, np.ndarray] = {}
@@ -59,15 +73,20 @@ class WrapperGaussianSLAM:
         frame_id, image, depth, gt_c2w = frame_data[:4]
         gt_ok = not (np.isinf(gt_c2w).any() or np.isnan(gt_c2w).any())
         prev = sorted(self.estimated_c2ws)
+        odo_rel = (self.odometer.estimate_rel_pose(image, depth)
+                   if self.odometer is not None else None)
         if self.gt_camera or len(prev) < 2 or self._n_mapped == 0:
             if gt_ok:
                 self.estimated_c2ws[frame_id] = np.asarray(gt_c2w, np.float32)
             return
-        # const-speed init over the previous two tracked poses
-        # (tracker.py:119-131 / gaussian_slam.py:47-55)
-        c2w0 = jnp.asarray(self.estimated_c2ws[prev[-2]])
+        # pose init (tracker.py:119-131 / gaussian_slam.py:47-55):
+        # RGB-D odometry delta when available, else const-speed
         c2w1 = jnp.asarray(self.estimated_c2ws[prev[-1]])
-        c2w_init = const_speed_extrapolate(c2w0, c2w1)
+        if odo_rel is not None:
+            c2w_init = c2w1 @ jnp.asarray(odo_rel, jnp.float32)
+        else:
+            c2w0 = jnp.asarray(self.estimated_c2ws[prev[-2]])
+            c2w_init = const_speed_extrapolate(c2w0, c2w1)
         img = jnp.asarray(np.asarray(image, np.float32) / 255.0
                           if np.asarray(image).dtype == np.uint8
                           else np.asarray(image, np.float32))
@@ -75,6 +94,7 @@ class WrapperGaussianSLAM:
         res = track_pose(self.state, img, dep, jnp.linalg.inv(c2w_init),
                          self.K, img_hw=dep.shape,
                          iters=self.track_iters,
+                         adaptive_loss_th=self.adaptive_loss_th,
                          k_per_tile=self.cfg.k_per_tile)
         c2w = np.asarray(jnp.linalg.inv(res.w2c), np.float32)
         self.estimated_c2ws[frame_id] = c2w

@@ -80,16 +80,21 @@ class TrackResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("img_hw", "iters", "tile", "k_per_tile"))
+    static_argnames=("img_hw", "iters", "adaptive_loss_th", "tile",
+                     "k_per_tile"))
 def track_pose(state: GaussianState, image: Array, depth: Array,
                w2c_init: Array, K: Array, *, img_hw: Tuple[int, int],
                iters: int = 60, lr_q: float = 2e-4, lr_t: float = 2e-3,
                color_w: float = 0.5, depth_w: float = 1.0,
                alpha_th: float = 0.98, soft_alpha: bool = True,
+               adaptive_loss_th: float = 0.0,
                tile: int = 16, k_per_tile: int = 64) -> TrackResult:
     """Optimize the camera pose against one RGB-D frame.
 
     image: (H, W, 3) f32 in [0, 1]; depth: (H, W) f32 (0 = invalid).
+    ``adaptive_loss_th`` > 0 doubles the iteration budget when the initial
+    loss exceeds it (tracker.py:153-172), as a dynamic ``while_loop`` trip
+    count -- one compiled program either way.
     """
     R0 = w2c_init[:3, :3]
     t0 = w2c_init[:3, 3]
@@ -124,9 +129,15 @@ def track_pose(state: GaussianState, image: Array, depth: Array,
     init_loss = render_loss(q0, t0)
 
     b1, b2, eps = 0.9, 0.999, 1e-8
+    budget = jnp.asarray(iters, jnp.int32)
+    if adaptive_loss_th > 0:
+        budget = jnp.where(init_loss > adaptive_loss_th, 2 * budget, budget)
 
-    def body(i, carry):
-        q, t, mq, vq, mt, vt, best_q, best_t, best_loss = carry
+    def cond(carry):
+        return carry[0] < budget
+
+    def body(carry):
+        i, q, t, mq, vq, mt, vt, best_q, best_t, best_loss = carry
         loss, (gq, gt) = grad_fn(q, t)
         better = loss < best_loss
         best_q = jnp.where(better, q, best_q)
@@ -141,12 +152,13 @@ def track_pose(state: GaussianState, image: Array, depth: Array,
         q = q - lr_q * corr * mq / (jnp.sqrt(vq) + eps)
         t = t - lr_t * corr * mt / (jnp.sqrt(vt) + eps)
         q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
-        return q, t, mq, vq, mt, vt, best_q, best_t, best_loss
+        return i + 1, q, t, mq, vq, mt, vt, best_q, best_t, best_loss
 
     z4, z3 = jnp.zeros(4), jnp.zeros(3)
-    carry = (q0, t0, z4, z4, z3, z3, q0, t0, init_loss)
-    carry = jax.lax.fori_loop(0, iters, body, carry)
-    _, _, _, _, _, _, bq, bt, bl = carry
+    carry = (jnp.zeros((), jnp.int32), q0, t0, z4, z4, z3, z3, q0, t0,
+             init_loss)
+    carry = jax.lax.while_loop(cond, body, carry)
+    bq, bt, bl = carry[7], carry[8], carry[9]
 
     # final evaluation at the last pose too (tracker keeps best seen)
     w2c = jnp.eye(4).at[:3, :3].set(quat_to_mat(bq)).at[:3, 3].set(bt)

@@ -88,6 +88,80 @@ def export_colored_pcd(output_dir, points, obj_ids, rgb_colors=None,
                   heatmap_colors(np.asarray(query_values)))
 
 
+def stream_pcd(queue, conn, flag, output_dir, show: bool = False,
+               queries: Optional[Sequence[str]] = None) -> None:
+    """Viewer-process target (reference visualizer.py:324-393 stream loop +
+    :146-162 query handshake). Consumes (points, obj_ids, colors) frames
+    from ``queue`` until a ``None`` sentinel. Headless mode: optionally
+    issues scripted ``queries`` through the cross-process protocol
+    (conn.send(query); flag=1 -> wait flag=2 -> conn.recv(per-point sims))
+    and exports colored PLY snapshots of the final map.
+
+    With open3d installed the same loop drives a live window instead.
+    """
+    import time
+
+    queries = list(queries or [])
+    latest = None
+    out = Path(output_dir)
+    vis_window = None
+    if show and _HAS_O3D:
+        import open3d as o3d
+
+        vis_window = o3d.visualization.Visualizer()
+        vis_window.create_window()
+        pcd_geom = o3d.geometry.PointCloud()
+
+    n_frames = 0
+    query_results = []
+    while True:
+        item = queue.get()
+        if item is None:
+            break
+        latest = item
+        n_frames += 1
+        if vis_window is not None:
+            import open3d as o3d
+
+            pts, obj_ids, _ = latest
+            pcd_geom.points = o3d.utility.Vector3dVector(
+                np.asarray(pts, np.float64))
+            pcd_geom.colors = o3d.utility.Vector3dVector(
+                instance_colors(np.asarray(obj_ids)).astype(np.float64)
+                / 255.0)
+            if n_frames == 1:
+                vis_window.add_geometry(pcd_geom)
+            vis_window.update_geometry(pcd_geom)
+            vis_window.poll_events()
+            vis_window.update_renderer()
+        if queries:
+            q = queries.pop(0)
+            conn.send(q)
+            with flag.get_lock():
+                flag.value = 1
+            t0 = time.time()
+            while time.time() - t0 < 60.0:
+                with flag.get_lock():
+                    done = flag.value == 2
+                if done:
+                    break
+                time.sleep(0.005)
+            if done and conn.poll(5.0):
+                vals = conn.recv()
+                query_results.append((q, np.asarray(vals)))
+            with flag.get_lock():
+                flag.value = 0
+
+    if latest is not None:
+        pts, obj_ids, colors = latest
+        export_colored_pcd(out, pts, obj_ids, colors, tag="stream_final")
+        for q, vals in query_results:
+            export_colored_pcd(out, pts, obj_ids, query_values=vals,
+                               tag=f"stream_query_{q.replace(' ', '_')}")
+    if vis_window is not None:
+        vis_window.destroy_window()
+
+
 class Visualizer:
     """Interactive (open3d) or headless-export viewer over a finished run."""
 
