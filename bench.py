@@ -169,5 +169,11 @@ if __name__ == "__main__":
                              f"({type(e).__name__}); retrying on a fresh "
                              "runtime\n")
             os.environ["OVO_BENCH_RETRY"] = str(attempt + 1)
+            if attempt >= 1:
+                # repeated TPU-worker crashes: drop to the pure-XLA kernels
+                # (slightly slower, but isolates Pallas kernel faults)
+                os.environ["OVO_NO_PALLAS"] = "1"
+                sys.stderr.write("bench: disabling Pallas kernels for the "
+                                 "remaining attempts\n")
             os.execv(sys.executable, [sys.executable] + sys.argv)
         raise

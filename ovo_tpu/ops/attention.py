@@ -127,7 +127,12 @@ def dot_product_attention(q: Array, k: Array, v: Array,
                           causal: bool = False,
                           impl: str = "auto") -> Array:
     """Dispatcher. Uses the Pallas kernel on TPU for unmasked (or causal)
-    attention with kernel-friendly shapes; XLA otherwise."""
+    attention with kernel-friendly shapes; XLA otherwise.
+    ``OVO_NO_PALLAS=1`` forces the XLA path (TPU-worker fault isolation)."""
+    import os
+
+    if os.environ.get("OVO_NO_PALLAS") == "1" and impl == "auto":
+        impl = "xla"
     if impl == "xla" or mask is not None or not _on_tpu():
         if causal and mask is None:
             lq, lk = q.shape[-2], k.shape[-2]

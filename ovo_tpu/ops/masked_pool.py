@@ -91,9 +91,13 @@ def masked_single_query_attention(q: Array, k: Array, v: Array,
                                   scale: Optional[float] = None,
                                   impl: str = "auto") -> Array:
     """Dispatcher; see module docstring for shapes."""
+    import os
+
     d = q.shape[-1]
     scale = scale if scale is not None else d ** -0.5
     on_tpu = jax.devices()[0].platform == "tpu"
+    if os.environ.get("OVO_NO_PALLAS") == "1" and impl == "auto":
+        impl = "xla"
     use_pallas = impl == "pallas" or (impl == "auto" and on_tpu)
     if use_pallas:
         return pallas_masked_pool(q, k, v, key_mask, scale=scale,

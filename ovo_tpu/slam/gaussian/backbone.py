@@ -59,6 +59,8 @@ class WrapperGaussianSLAM:
                       "falling back to const-speed")
         self.kf_window = int(mapping.get("keyframe_window", 6))
         self.new_submap_every = int(mapping.get("new_submap_every", 50))
+        self.log_psnr = bool(mapping.get("log_psnr", False))
+        self.psnr_log: Dict[int, float] = {}
         self.estimated_c2ws: Dict[int, np.ndarray] = {}
         self.kfs: Dict[int, Any] = {}
         self._kf_images: List[np.ndarray] = []
@@ -138,6 +140,17 @@ class WrapperGaussianSLAM:
         self.kfs[frame_id] = None
         self._n_mapped += 1
         self._view_perm = None  # map changed; invalidate the semantic view
+        if self.log_psnr:
+            from ...ops.splat import render_gaussians
+            from .losses import psnr
+
+            out = render_gaussians(
+                self.state.xyz, self.state.scales(), self.state.quats,
+                self.state.opacity(), self.state.colors(), self.state.valid,
+                w2c, self.K, img_hw=dep.shape,
+                k_per_tile=self.cfg.k_per_tile)
+            self.psnr_log[frame_id] = float(psnr(out.color, img,
+                                                 mask=out.alpha > 0.5))
 
     # -- semantic-side view (MapState compaction) ------------------------
     def _perm(self) -> jnp.ndarray:

@@ -61,6 +61,18 @@ def ssim(img1: Array, img2: Array, window_size: int = 11) -> Array:
     return s.mean()
 
 
+def psnr(pred: Array, gt: Array, mask: Array | None = None) -> Array:
+    """Peak signal-to-noise ratio over [0,1] images (reference
+    mapper_utils.py PSNR, logged per mapped keyframe mapper.py:244-256)."""
+    err = (pred - gt) ** 2
+    if mask is not None:
+        mse = jnp.where(mask[..., None], err, 0.0).sum() / jnp.maximum(
+            mask.sum() * pred.shape[-1], 1)
+    else:
+        mse = err.mean()
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
 def isotropic_loss(scales_log: Array, valid: Array) -> Array:
     """Penalize anisotropic gaussians (reference losses.py isotropic reg):
     mean |scale - mean(scale)| per gaussian, over valid slots."""

@@ -108,3 +108,23 @@ def test_write_instances(tmp_path, rng):
     rle = json.load(open(tmp_path / "instance_pred" / "predicted_masks" /
                          "sc_0.json"))
     np.testing.assert_array_equal(io_utils.rle_decode(rle), masks[0])
+
+
+def test_gt_vs_pred_view(tmp_path):
+    """Diff view (reference visualizer.py:401-599): green/red coloring and
+    raw->reduced GT remap via dataset info."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from visualize_scene import gt_vs_pred
+
+    vtx = np.zeros((4, 3), np.float32)
+    write_ascii_ply(tmp_path / "m.ply", vtx)
+    io_utils.write_labels(tmp_path / "gt.txt", np.array([93, 93, 20, 7]))
+    io_utils.write_labels(tmp_path / "pred.txt", np.array([0, 1, 3, -1]))
+    info = {"map_to_reduced": {93: 0, 20: 3, 7: -1}, "ignore": [-1]}
+    with open(tmp_path / "info.yaml", "w") as f:
+        yaml.safe_dump(info, f)
+    gt_vs_pred(tmp_path / "m.ply", tmp_path / "gt.txt",
+               tmp_path / "pred.txt", tmp_path / "out",
+               dataset_info=str(tmp_path / "info.yaml"))
+    assert (tmp_path / "out" / "gt_vs_pred.ply").exists()

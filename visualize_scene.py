@@ -12,13 +12,52 @@ import argparse
 from pathlib import Path
 
 import numpy as np
+import yaml
 
 from ovo_tpu.viz.visualizer import Visualizer
 from run_eval import load_representation
 
 
+def gt_vs_pred(mesh_ply: str, gt_txt: str, pred_txt: str, out_dir: Path,
+               dataset_info: str | None = None) -> None:
+    """Color GT mesh vertices by prediction correctness (reference
+    visualizer.py:401-599 ``visualize_gt_vs_pred``): green = match,
+    red = mismatch, grey = ignored (-100/-1 GT). ``dataset_info`` (an
+    eval_info.yaml) remaps raw GT ids to the reduced label space the
+    --segment predictions use."""
+    from ovo_tpu.utils import io as io_utils
+    from ovo_tpu.viz.visualizer import write_ply
+
+    vtx = io_utils._read_ply_vertices(Path(mesh_ply))
+    gt = io_utils.read_labels(Path(gt_txt))
+    pred = io_utils.read_labels(Path(pred_txt))
+    if dataset_info:
+        info = yaml.safe_load(open(dataset_info))
+        remap = info.get("map_to_reduced")
+        if remap is not None:
+            gt = np.vectorize(lambda v: remap.get(int(v), -1))(gt)
+        for ig in info.get("ignore", []):
+            gt[gt == ig] = -100
+    assert len(vtx) == len(gt) == len(pred), \
+        f"vertex/label count mismatch: {len(vtx)}/{len(gt)}/{len(pred)}"
+    colors = np.full((len(vtx), 3), 60, np.uint8)
+    valid = gt >= 0
+    colors[valid & (gt == pred)] = (40, 200, 40)
+    colors[valid & (gt != pred)] = (220, 40, 40)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    write_ply(out_dir / "gt_vs_pred.ply", vtx, colors)
+    acc = float((gt[valid] == pred[valid]).mean()) if valid.any() else 0.0
+    print(f"gt-vs-pred: {valid.sum()} labelled vertices, point acc "
+          f"{acc:.3f}; wrote {out_dir / 'gt_vs_pred.ply'}")
+
+
 def main(args):
     scene_path = Path(args.scene_path)
+    if args.gt_labels:
+        gt_vs_pred(args.mesh, args.gt_labels, args.pred_labels,
+                   scene_path / "vis_out", dataset_info=args.dataset_info)
+        if not args.queries:
+            return
     ovo, map_params = load_representation(scene_path, eval=True)
     points = np.asarray(map_params["xyz"])
     obj_ids = np.asarray(map_params["obj_ids"]).reshape(-1)
@@ -35,4 +74,12 @@ if __name__ == "__main__":
                         help="run output dir containing ovo_map.ckpt")
     parser.add_argument("--queries", nargs="*", default=[],
                         help="free-text queries to render as heatmaps")
+    parser.add_argument("--gt_labels", default=None,
+                        help="GT per-vertex label txt (enables gt-vs-pred)")
+    parser.add_argument("--pred_labels", default=None,
+                        help="predicted per-vertex label txt (--segment output)")
+    parser.add_argument("--mesh", default=None,
+                        help="GT mesh ply matching the label files")
+    parser.add_argument("--dataset_info", default=None,
+                        help="eval_info.yaml for raw->reduced GT remap")
     main(parser.parse_args())
