@@ -140,14 +140,29 @@ def main():
             sys.stderr.write(f"[bench] {name}: {(time.time()-t0)/4:.4f}s\n")
         sys.stderr.flush()
 
+    pipelined = os.environ.get("OVO_BENCH_PIPELINED") == "1"
     t0 = time.time()
-    for i in range(ITERS):
-        state, store, match = keyframe_step(state, store, WARMUP + i)
-        # force full completion of this frame's chain: desc_cnt depends on
-        # AMG -> association -> TextRegion -> descriptor update; count on
-        # the map insert
-        np.asarray(store.desc_cnt[:8])
-        np.asarray(state.count)
+    if pipelined:
+        # steady-state throughput: dispatch frame i, then fetch frame i-1's
+        # results -- host fetch overlaps device compute, exactly like the
+        # online pipeline's deferred-CLIP queue (ovo.py:326-364)
+        prev = None
+        for i in range(ITERS):
+            state, store, match = keyframe_step(state, store, WARMUP + i)
+            if prev is not None:
+                np.asarray(prev[0].desc_cnt[:8])
+                np.asarray(prev[1].count)
+            prev = (store, state)
+        np.asarray(prev[0].desc_cnt[:8])
+        np.asarray(prev[1].count)
+    else:
+        for i in range(ITERS):
+            state, store, match = keyframe_step(state, store, WARMUP + i)
+            # force full completion of this frame's chain: desc_cnt depends
+            # on AMG -> association -> TextRegion -> descriptor update;
+            # count on the map insert
+            np.asarray(store.desc_cnt[:8])
+            np.asarray(state.count)
     dt = time.time() - t0
 
     fps = ITERS / dt
@@ -164,10 +179,12 @@ if __name__ == "__main__":
         sys.exit(main())
     except Exception as e:  # the sandboxed TPU worker occasionally restarts
         attempt = int(os.environ.get("OVO_BENCH_RETRY", "0"))
-        if attempt < 3:
+        if attempt < 5:
             sys.stderr.write(f"bench attempt {attempt} failed "
                              f"({type(e).__name__}); retrying on a fresh "
                              "runtime\n")
+            time.sleep(30 * (attempt + 1))  # give the TPU worker time to
+            # recover (the sandbox worker restarts take a while)
             os.environ["OVO_BENCH_RETRY"] = str(attempt + 1)
             if attempt >= 1:
                 # repeated TPU-worker crashes: drop to the pure-XLA kernels

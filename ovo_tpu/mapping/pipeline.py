@@ -7,6 +7,7 @@ and the two-part ovo_map.ckpt checkpoint.
 """
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -49,6 +50,14 @@ class OVOSemMap:
             mask_source = mask_source or build_mask_source(
                 config["semantic"], config["data"].get("scene_name"))
             embedder = embedder or build_embedder(config["semantic"])
+        # mask precompute hook (ovomapping.py:62-63 + mask_generator.py:
+        # 122-195): segment every segment-cadence frame once with the live
+        # model, save npy masks, then run SAM-free from disk
+        sam_cfg = config["semantic"].get("sam", {})
+        if sam_cfg.get("precompute", False) and not sam_cfg.get(
+                "precomputed", False):
+            mask_source = self._precompute_masks(mask_source, sam_cfg)
+
         self.ovo = SemanticMapper(config["semantic"], self.logger,
                                   config["data"].get("scene_name"),
                                   cam_intrinsics, mask_source=mask_source,
@@ -78,6 +87,32 @@ class OVOSemMap:
                 "Restoring representation only implemented for 'vanilla'!"
             self.restore_representation()
             self.first_frame = max(self.slam_backbone.estimated_c2ws) + 1
+
+    # ------------------------------------------------------------------
+    def _precompute_masks(self, mask_source, sam_cfg):
+        from ..data.masks import PrecomputedMaskSource
+
+        scene = self.config["data"].get("scene_name", "scene")
+        base = sam_cfg.get("masks_base_path",
+                           str(self.output_path / "masks"))
+        store = PrecomputedMaskSource(
+            os.path.join(base, scene) if scene not in base else base,
+            max_masks=self.config["semantic"].get(
+                "capacity", {}).get("n_masks", 96))
+        seg_every = self.segment_every
+        for fid in range(0, len(self.dataset), seg_every):
+            fd = self.dataset[fid]
+            image = fd[4] if len(fd) == 5 else fd[1]
+            seg, bmaps, valid = mask_source.get_masks(image, fid)
+            if seg is None:
+                continue
+            n = int(np.asarray(valid).sum())
+            store.save_masks(np.asarray(seg),
+                             np.asarray(bmaps)[:n], fid)
+        print(f"[ovo_tpu] precomputed masks for "
+              f"{len(range(0, len(self.dataset), seg_every))} frames "
+              f"-> {store.masks_path}")
+        return store
 
     # ------------------------------------------------------------------
     def save_representation(self) -> None:

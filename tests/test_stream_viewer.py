@@ -155,3 +155,55 @@ def test_tracker_adaptive_budget_doubles():
                     iters=10, adaptive_loss_th=1e-6, k_per_tile=16)
     assert float(r2.loss) <= float(r1.loss) + 1e-9
     assert float(r2.loss) < float(r2.init_loss)
+
+
+def test_mask_precompute_hook(tmp_path):
+    """Precompute path (ovomapping.py:62-63): first pipeline precomputes npy
+    masks with the live source; a second pipeline runs SAM-free from disk
+    and reproduces the same instances."""
+    import copy
+
+    base_cfg = {
+        "dataset_name": "synthetic", "use_wandb": False, "debug": False,
+        "slam": {"slam_module": "vanilla", "save_estimated_cam": False},
+        "mapping": {"map_every": 2, "k_pooling": 1, "downscale_res": 1,
+                    "n_points_capacity": 1 << 16},
+        "tracking": {"track_every": 1},
+        "data": {"scene_name": "wall0"}, "cam": {},
+        "semantic": {
+            "segment_every": 2, "match_distance_th": 0.05, "track_th": 40,
+            "depth_filter": False, "log": False, "kf_queue_delay": 1,
+            "capacity": {"n_instances": 64, "n_masks": 16},
+            "sam": {"precompute": True,
+                    "masks_base_path": str(tmp_path / "masks")},
+            "clip": {"k_top_views": 10000, "fusion": "avg_pooling",
+                     "clip_dim": 16},
+        },
+    }
+    ds = SyntheticWallDataset(n_frames=8)
+    embeds = class_embeddings(16)
+    text_embeds = {c: embeds[i] for i, c in enumerate(CLASSES)}
+
+    def build(cfg, out):
+        embedder = RecordedEmbedder(16, mask_label_fn, embeds, text_embeds)
+        mask_source = CallableMaskSource(synthetic_mask_fn, max_masks=16)
+        return OVOSemMap(cfg, out, mask_source=mask_source,
+                         embedder=embedder, dataset=ds)
+
+    m1 = build(copy.deepcopy(base_cfg), tmp_path / "run1")
+    import glob
+    saved = glob.glob(str(tmp_path / "masks" / "wall0" / "*_seg_map_*.npy"))
+    assert len(saved) == 4  # frames 0,2,4,6
+    m1.run()
+
+    # second run: SAM-free, loading the saved masks through the factory path
+    cfg2 = copy.deepcopy(base_cfg)
+    cfg2["semantic"]["sam"] = {"precomputed": True,
+                               "masks_base_path": str(tmp_path / "masks")}
+    from ovo_tpu.factory import build_mask_source
+    ms2 = build_mask_source(cfg2["semantic"], "wall0")
+    embedder2 = RecordedEmbedder(16, mask_label_fn, embeds, text_embeds)
+    m2 = OVOSemMap(cfg2, tmp_path / "run2", mask_source=ms2,
+                   embedder=embedder2, dataset=ds)
+    m2.run()
+    np.testing.assert_array_equal(m1.ovo.active_ids(), m2.ovo.active_ids())
