@@ -41,9 +41,33 @@ WARMUP = 2
 ITERS = 8
 
 
+def _wait_for_healthy_worker(max_wait_s: float = 600.0) -> None:
+    """The sandbox TPU worker needs recovery time after a crash; probe with
+    a small real computation (+ authoritative fetch) before the heavy run."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    while True:
+        try:
+            x = jnp.ones((1024, 1024), jnp.bfloat16)
+            v = float(np.asarray((x @ x)[0, 0]))
+            assert v == 1024.0
+            return
+        except Exception as e:  # noqa: BLE001
+            if time.time() - t0 > max_wait_s:
+                raise
+            sys.stderr.write(f"[bench] worker unhealthy ({type(e).__name__});"
+                             " waiting 60s\n")
+            sys.stderr.flush()
+            time.sleep(60)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _wait_for_healthy_worker()
 
     from ovo_tpu.mapping import association, instances as inst
     from ovo_tpu.mapping.instances import init_instance_store
@@ -88,26 +112,56 @@ def main():
     c2w_dev = jnp.asarray(c2w)
     K_dev = jnp.asarray(K)
 
+    import jax as _jax
+
+    @_jax.jit
+    def sync_probe(state, store):
+        # one tiny array depending on BOTH chains (association/map insert
+        # and the descriptor path) -> a single authoritative fetch per frame
+        return store.desc_cnt[:8].sum() + state.count
+
     def keyframe_step(state, store, kf_id):
         img = images[kf_id % len(images)]
         seg, bmaps, valid = amg.get_masks(img, kf_id)
-        state, store, match = association.associate_keyframe(
-            state, store, seg, bmaps, valid, depth_dev, c2w_dev, K_dev,
+        # fused association + vanilla map insert: one program, shared 2M-
+        # point projection and pixel gathers
+        state, store, match = association.associate_and_insert_keyframe(
+            state, store, seg, bmaps, valid, img, depth_dev, c2w_dev, K_dev,
             jnp.asarray(kf_id, jnp.int32), match_distance_th=0.05,
-            track_th=100, use_depth_filter=True, unbounded_top_k=True)
+            track_th=100, use_depth_filter=True, unbounded_top_k=True,
+            k_pooling=3, downscale=2)
         descs = embedder.embed_masks(img, match.fused_maps, match.keep)
         store = inst.update_descriptors(
             store, match.ins_ids, descs.astype(jnp.float32),
             jnp.asarray(kf_id, jnp.int32), match.keep)
-        state = map_insert_frame(state, img, depth_dev, c2w_dev, K_dev)
         return state, store, match
 
+    # warmup compiles + executes each stage with a sync in between (short
+    # device bursts; the sandbox worker has crashed on very long first-run
+    # chains). Timed iterations below run the full async chain.
     for i in range(WARMUP):
         sys.stderr.write(f"[bench] warmup {i}\n")
         sys.stderr.flush()
-        state, store, match = keyframe_step(state, store, i)
-        np.asarray(store.desc_cnt[:8])  # full sync (remote runtimes may
-        # treat block_until_ready as a hint; a fetch is authoritative)
+        img = images[i % len(images)]
+        seg, bmaps, valid = amg.get_masks(img, i)
+        np.asarray(valid[:4])
+        sys.stderr.write("[bench]   amg done\n")
+        sys.stderr.flush()
+        state, store, match = association.associate_and_insert_keyframe(
+            state, store, seg, bmaps, valid, img, depth_dev, c2w_dev, K_dev,
+            jnp.asarray(i, jnp.int32), match_distance_th=0.05, track_th=100,
+            use_depth_filter=True, unbounded_top_k=True, k_pooling=3,
+            downscale=2)
+        np.asarray(state.count)
+        sys.stderr.write("[bench]   assoc+insert done\n")
+        sys.stderr.flush()
+        descs = embedder.embed_masks(img, match.fused_maps, match.keep)
+        store = inst.update_descriptors(
+            store, match.ins_ids, descs.astype(jnp.float32),
+            jnp.asarray(i, jnp.int32), match.keep)
+        np.asarray(sync_probe(state, store))
+        sys.stderr.write("[bench]   embed+update done\n")
+        sys.stderr.flush()
     sys.stderr.write("[bench] warmup done, timing\n")
     sys.stderr.flush()
 
@@ -150,19 +204,16 @@ def main():
         for i in range(ITERS):
             state, store, match = keyframe_step(state, store, WARMUP + i)
             if prev is not None:
-                np.asarray(prev[0].desc_cnt[:8])
-                np.asarray(prev[1].count)
-            prev = (store, state)
-        np.asarray(prev[0].desc_cnt[:8])
-        np.asarray(prev[1].count)
+                np.asarray(prev)
+            prev = sync_probe(state, store)
+        np.asarray(prev)
     else:
         for i in range(ITERS):
             state, store, match = keyframe_step(state, store, WARMUP + i)
-            # force full completion of this frame's chain: desc_cnt depends
-            # on AMG -> association -> TextRegion -> descriptor update;
-            # count on the map insert
-            np.asarray(store.desc_cnt[:8])
-            np.asarray(state.count)
+            # force full completion of this frame's chain: the probe depends
+            # on AMG -> association -> TextRegion -> descriptor update and
+            # on the map insert
+            np.asarray(sync_probe(state, store))
     dt = time.time() - t0
 
     fps = ITERS / dt
@@ -183,8 +234,9 @@ if __name__ == "__main__":
             sys.stderr.write(f"bench attempt {attempt} failed "
                              f"({type(e).__name__}); retrying on a fresh "
                              "runtime\n")
-            time.sleep(30 * (attempt + 1))  # give the TPU worker time to
-            # recover (the sandbox worker restarts take a while)
+            time.sleep(120)  # the worker needs recovery time after a crash;
+            # immediate retries crash again (_wait_for_healthy_worker then
+            # probes before the heavy programs start)
             os.environ["OVO_BENCH_RETRY"] = str(attempt + 1)
             if attempt >= 1:
                 # repeated TPU-worker crashes: drop to the pure-XLA kernels

@@ -25,9 +25,38 @@ import jax.numpy as jnp
 from .. import geometry as geo
 from . import instances as inst
 from .instances import InstanceStore
-from .map_state import MapState
+from .map_state import MapState, _scatter_append
 
 Array = jax.Array
+
+
+def _vote_matmul(seg_row: Array, vote_col: Array, M: int, Kcap: int) -> Array:
+    """(N,) mask-slot ids x (N,) instance ids -> (M+1, Kcap+1) count matrix
+    via chunked one-hot matmuls (exact: bf16 one-hots, f32 accumulation;
+    counts < 2^24)."""
+    N = seg_row.shape[0]
+    CH = min(N, 2 ** 18)
+    pad = (-N) % CH
+    if pad:
+        seg_row = jnp.concatenate([seg_row, jnp.full((pad,), M, jnp.int32)])
+        vote_col = jnp.concatenate([vote_col,
+                                    jnp.full((pad,), Kcap, jnp.int32)])
+
+    def body(carry, x):
+        s, v = x
+        a = jax.nn.one_hot(s, M + 1, dtype=jnp.bfloat16)
+        b = jax.nn.one_hot(v, Kcap + 1, dtype=jnp.bfloat16)
+        return carry + jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32), None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((M + 1, Kcap + 1), jnp.float32),
+        (seg_row.reshape(-1, CH), vote_col.reshape(-1, CH)))
+    # padded rows landed in row M / col Kcap, which callers discard -- but
+    # subtract the padding from that cell anyway to keep the matrix exact
+    out = out.at[M, Kcap].add(-float(pad))
+    return out.astype(jnp.int32)
 
 
 class KeyframeMatch(NamedTuple):
@@ -91,17 +120,16 @@ def associate_keyframe(
                     seg, -1)
 
     # ---- per-mask vote counts (replaces the _track_objects loop) ----
+    # One-hot matmuls on the MXU instead of 2M-element scatter-adds (TPU
+    # scatters serialize; the dense (M+1)x(K+1) vote matrix is tiny).
     seg_row = jnp.where(seg >= 0, seg, M)  # M = dropped
-    ones = jnp.ones_like(seg_row)
-    total = jnp.zeros((M,), jnp.int32).at[seg_row].add(ones, mode="drop")
     assigned = obj >= 0
-    assigned_cnt = jnp.zeros((M,), jnp.int32).at[seg_row].add(
-        (assigned & (seg >= 0)).astype(jnp.int32), mode="drop")
-    unassigned_cnt = total - assigned_cnt
-
     vote_col = jnp.where(assigned & (seg >= 0), jnp.clip(obj, 0, Kcap - 1), Kcap)
-    votes = jnp.zeros((M, Kcap), jnp.int32).at[seg_row, vote_col].add(
-        1, mode="drop")
+    votes_full = _vote_matmul(seg_row, vote_col, M, Kcap)  # (M+1, K+1) i32
+    total = votes_full[:M].sum(axis=1).astype(jnp.int32)
+    votes = votes_full[:M, :Kcap].astype(jnp.int32)
+    assigned_cnt = votes.sum(axis=1)
+    unassigned_cnt = total - assigned_cnt
     mode_id = jnp.argmax(votes, axis=1).astype(jnp.int32)  # ties -> lowest id
 
     # ---- decide each mask's instance (ovo.py:255-280) ----
@@ -159,6 +187,170 @@ def associate_keyframe(
         unassigned_cnt, mode="drop")
     store = inst.add_matched_points(store, ins_of_mask, grp_unassigned,
                                     keep_slot)
+
+    out = KeyframeMatch(
+        ins_ids=jnp.where(keep, ins_of_mask, -1),
+        fused_maps=fused_maps,
+        keep=keep,
+        areas=areas,
+        n_new=n_new,
+        n_matched=jnp.sum(matched.astype(jnp.int32)),
+        n_dropped_masks=dropped,
+    )
+    return map_state, store, out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("match_distance_th", "track_th", "use_depth_filter",
+                     "unbounded_top_k", "rgb_depth_ratio", "insert_match_th",
+                     "k_pooling", "downscale"))
+def associate_and_insert_keyframe(
+    map_state: MapState,
+    store: InstanceStore,
+    seg_map: Array,
+    binary_maps: Array,
+    mask_valid: Array,
+    image: Array,          # (h, w, 3) uint8 at depth resolution
+    depth: Array,
+    c2w: Array,
+    K: Array,
+    kf_id: Array,
+    *,
+    match_distance_th: float = 0.05,
+    track_th: int = 100,
+    use_depth_filter: bool = True,
+    unbounded_top_k: bool = True,
+    rgb_depth_ratio: Tuple[float, float, int] | None = None,
+    insert_match_th: float = 0.03,
+    k_pooling: int = 3,
+    downscale: int = 2,
+) -> Tuple[MapState, InstanceStore, KeyframeMatch]:
+    """Fused association + vanilla map insert for frames on both cadences.
+
+    Equivalent to ``associate_keyframe`` followed by
+    ``map_state.map_insert_frame`` but ONE program: the w2c projection of the
+    2M-point map and the per-point pixel gathers are computed once and
+    shared (they dominate the association cost on TPU), and the dispatch/
+    sync overhead is paid once.
+    """
+    M = binary_maps.shape[0]
+    Kcap = store.capacity
+    points = map_state.points
+    obj = map_state.obj_ids
+    h, w = depth.shape
+
+    # ---- shared geometry: one projection + ONE packed gather ----
+    corners = geo.compute_camera_frustum_corners(depth, c2w, K)
+    in_frustum = geo.points_in_frustum(points, corners,
+                                       valid=map_state.valid_mask())
+    uv, z = geo.project_points(points, K, jnp.linalg.inv(c2w))
+    in_plane = ((uv[:, 0] >= 0) & (uv[:, 0] < w) &
+                (uv[:, 1] >= 0) & (uv[:, 1] < h))
+    uc = jnp.clip(uv[:, 0], 0, w - 1)
+    vc = jnp.clip(uv[:, 1], 0, h - 1)
+    depth_m = geo.depth_filter(depth) if use_depth_filter else depth
+    packed = jnp.stack([depth, depth_m], axis=-1)       # (h, w, 2)
+    g = packed[vc, uc]                                   # one 2M-row gather
+    d_raw, d_m = g[:, 0], g[:, 1]
+    base = in_frustum & in_plane
+    matched = base & (jnp.abs(z - d_m) < match_distance_th) & (d_m != 0)
+    ins_matched = base & (jnp.abs(z - d_raw) < insert_match_th) & (d_raw != 0)
+
+    # ---- association (identical math to associate_keyframe) ----
+    u2, v2 = uc, vc
+    if rgb_depth_ratio is not None:
+        r_h, r_w, crop_edge = rgb_depth_ratio
+        u2 = ((uc + crop_edge).astype(jnp.float32) * r_w).astype(jnp.int32)
+        v2 = ((vc + crop_edge).astype(jnp.float32) * r_h).astype(jnp.int32)
+    Hr, Wr = seg_map.shape
+    u2 = jnp.clip(u2, 0, Wr - 1)
+    v2 = jnp.clip(v2, 0, Hr - 1)
+    seg = jnp.where(matched, seg_map[v2, u2], -1)
+    seg = jnp.where((seg >= 0) & (seg < M)
+                    & mask_valid[jnp.clip(seg, 0, M - 1)], seg, -1)
+
+    seg_row = jnp.where(seg >= 0, seg, M)
+    assigned = obj >= 0
+    vote_col = jnp.where(assigned & (seg >= 0), jnp.clip(obj, 0, Kcap - 1),
+                         Kcap)
+    votes_full = _vote_matmul(seg_row, vote_col, M, Kcap)
+    total = votes_full[:M].sum(axis=1).astype(jnp.int32)
+    votes = votes_full[:M, :Kcap].astype(jnp.int32)
+    assigned_cnt = votes.sum(axis=1)
+    unassigned_cnt = total - assigned_cnt
+    mode_id = jnp.argmax(votes, axis=1).astype(jnp.int32)
+
+    observed = mask_valid & (total > track_th)
+    case_track = observed & (assigned_cnt > track_th)
+    case_new = observed & ~case_track & (unassigned_cnt > track_th)
+    new_rank = jnp.cumsum(case_new.astype(jnp.int32)) - 1
+    new_id = store.next_id + new_rank
+    cap_ok = new_id < Kcap
+    dropped = jnp.sum((case_new & ~cap_ok).astype(jnp.int32))
+    case_new = case_new & cap_ok
+    ins_of_mask = jnp.where(case_track, mode_id,
+                            jnp.where(case_new, new_id, -1)).astype(jnp.int32)
+    n_new = jnp.sum(case_new.astype(jnp.int32))
+
+    point_ins = jnp.where(seg >= 0, ins_of_mask[jnp.clip(seg, 0, M - 1)], -1)
+    update = (~assigned) & (point_ins >= 0)
+    new_obj = jnp.where(update, point_ins, obj)
+    map_state = map_state._replace(obj_ids=new_obj)
+    store = inst.mint_instances(store, n_new)
+
+    has_ins = ins_of_mask >= 0
+    same = (ins_of_mask[:, None] == ins_of_mask[None, :]) & has_ins[:, None] \
+        & has_ins[None, :]
+    first_idx = jnp.argmax(same, axis=1).astype(jnp.int32)
+    keep_slot = has_ins & (first_idx == jnp.arange(M))
+    group_size = jnp.sum(same, axis=1)
+
+    seg_dest = jnp.where(has_ins, first_idx, M)
+    flat = binary_maps.reshape(M, -1)
+    fused_flat = jnp.zeros_like(flat).at[seg_dest].max(flat, mode="drop")
+    fused_maps = fused_flat.reshape(binary_maps.shape)
+
+    seg_flat = seg_map.reshape(-1)
+    seg_area = jnp.zeros((M,), jnp.int32).at[
+        jnp.where(seg_flat >= 0, seg_flat, M)].add(1, mode="drop")
+    fused_area = jnp.sum(fused_flat.astype(jnp.int32), axis=1)
+    areas = jnp.where(group_size > 1, fused_area, seg_area).astype(jnp.int32)
+
+    store = inst.add_top_kf(store, ins_of_mask, kf_id, areas, keep_slot)
+    keep = keep_slot if unbounded_top_k else \
+        keep_slot & inst.is_top_kf(store, ins_of_mask, kf_id)
+    grp_unassigned = jnp.zeros((M,), jnp.int32).at[seg_dest].add(
+        unassigned_cnt, mode="drop")
+    store = inst.add_matched_points(store, ins_of_mask, grp_unassigned,
+                                    keep_slot)
+
+    # ---- map insert (map_state.map_insert_frame semantics, reusing the
+    # shared match) ----
+    def dedup(mask):
+        hits = jnp.zeros(depth.shape, jnp.bool_).at[vc, uc].max(
+            ins_matched, mode="drop")
+        return geo.max_pool_erode(mask & ~hits, k_pooling)
+
+    ins_mask = jax.lax.cond(map_state.count > 0, dedup, lambda m: m,
+                            depth > 0)
+    if downscale > 1:
+        ins_mask = ins_mask[::downscale, ::downscale]
+        depth_ds = depth[::downscale, ::downscale]
+        image_ds = image[::downscale, ::downscale]
+        hh, ww = ins_mask.shape
+        vg = (jnp.arange(hh, dtype=jnp.float32) * downscale)[:, None]
+        ug = (jnp.arange(ww, dtype=jnp.float32) * downscale)[None, :]
+        x = (ug - K[0, 2]) * depth_ds / K[0, 0]
+        y = (vg - K[1, 2]) * depth_ds / K[1, 1]
+        cam = jnp.stack([x, y, depth_ds], axis=-1).reshape(-1, 3)
+        new_pts = geo.transform_points(c2w, cam)
+    else:
+        image_ds = image
+        new_pts = geo.unproject_depth(depth, K, c2w)
+    map_state = _scatter_append(map_state, new_pts,
+                                image_ds.reshape(-1, 3),
+                                ins_mask.reshape(-1))
 
     out = KeyframeMatch(
         ins_ids=jnp.where(keep, ins_of_mask, -1),

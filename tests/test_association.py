@@ -204,3 +204,60 @@ def test_capacity_overflow_drops_masks(rng):
     assert int(out.n_new) == 3
     assert int(out.n_dropped_masks) == 3
     assert int(store2.next_id) == 3
+
+
+def test_fused_associate_insert_matches_two_step(rng):
+    """associate_and_insert_keyframe == associate_keyframe then
+    map_insert_frame (shared-projection fusion must not change results)."""
+    import jax.numpy as jnp
+
+    from ovo_tpu.mapping import association
+    from ovo_tpu.mapping.instances import init_instance_store
+    from ovo_tpu.mapping.map_state import init_map_state, map_insert_frame
+
+    H, W = 48, 64
+    N = 1 << 14
+    M, Kcap = 8, 32
+    K = jnp.asarray(np.array([[50.0, 0, 31.5], [0, 50.0, 23.5], [0, 0, 1]],
+                             np.float32))
+    c2w = jnp.asarray(np.eye(4, dtype=np.float32))
+    depth = jnp.asarray(rng.uniform(1.0, 3.0, (H, W)).astype(np.float32))
+    img = jnp.asarray((rng.random((H, W, 3)) * 255).astype(np.uint8))
+
+    def seeded_state():
+        st = init_map_state(N)
+        return map_insert_frame(st, img, depth, c2w, K, k_pooling=1,
+                                downscale=1, match_th=0.03)
+
+    seg = jnp.asarray(rng.integers(-1, M, (H, W)).astype(np.int32))
+    bmaps = jnp.asarray(rng.random((M, H, W)) > 0.7)
+    valid = jnp.ones(M, bool)
+    kf = jnp.asarray(3, jnp.int32)
+    kw = dict(match_distance_th=0.05, track_th=20, use_depth_filter=True,
+              unbounded_top_k=True)
+
+    s1, st1, m1 = association.associate_keyframe(
+        seeded_state(), init_instance_store(Kcap, 16), seg, bmaps, valid,
+        depth, c2w, K, kf, **kw)
+    s1 = map_insert_frame(s1, img, depth, c2w, K, k_pooling=1, downscale=1,
+                          match_th=0.03)
+
+    s2, st2, m2 = association.associate_and_insert_keyframe(
+        seeded_state(), init_instance_store(Kcap, 16), seg, bmaps, valid,
+        img, depth, c2w, K, kf, k_pooling=1, downscale=1,
+        insert_match_th=0.03, **kw)
+
+    np.testing.assert_array_equal(np.asarray(m1.ins_ids), np.asarray(m2.ins_ids))
+    np.testing.assert_array_equal(np.asarray(m1.keep), np.asarray(m2.keep))
+    np.testing.assert_array_equal(np.asarray(m1.fused_maps),
+                                  np.asarray(m2.fused_maps))
+    assert int(m1.n_matched) == int(m2.n_matched)
+    assert int(s1.count) == int(s2.count)
+    np.testing.assert_array_equal(np.asarray(s1.obj_ids), np.asarray(s2.obj_ids))
+    n = int(s1.count)
+    np.testing.assert_allclose(np.asarray(s1.points[:n]),
+                               np.asarray(s2.points[:n]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st1.top_kf),
+                                  np.asarray(st2.top_kf))
+    np.testing.assert_array_equal(np.asarray(st1.top_area),
+                                  np.asarray(st2.top_area))
