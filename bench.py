@@ -166,32 +166,45 @@ def main():
     sys.stderr.flush()
 
     if os.environ.get("OVO_BENCH_STAGES") == "1":
-        # per-stage breakdown (reference stat names t_sam/t_obj/t_clip)
+        # per-stage breakdown (reference stat names t_sam/t_obj/t_clip).
+        # Sync = actual element fetch: block_until_ready is only a hint on
+        # this runtime, and each fetch costs a ~30 ms round trip, so report
+        # fetch-corrected times.
         import jax
+
+        def fetch(out):
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(leaf.ravel()[:1])
+
+        rtt_t0 = time.time()
+        for _ in range(8):
+            fetch(sync_probe(state, store))
+        rtt = (time.time() - rtt_t0) / 8
 
         img = images[0]
         for name, fn in (
             ("t_sam", lambda: amg.get_masks(img, 99)),
-            ("t_obj", lambda: association.associate_keyframe(
-                state, store, seg_w, bmaps_w, valid_w, depth_dev, c2w_dev,
-                K_dev, jnp.asarray(99, jnp.int32), match_distance_th=0.05,
-                track_th=100, use_depth_filter=True, unbounded_top_k=True)),
+            ("t_obj", lambda: association.associate_and_insert_keyframe(
+                state, store, seg_w, bmaps_w, valid_w, img, depth_dev,
+                c2w_dev, K_dev, jnp.asarray(99, jnp.int32),
+                match_distance_th=0.05, track_th=100, use_depth_filter=True,
+                unbounded_top_k=True, k_pooling=3, downscale=2)),
             ("t_clip", lambda: embedder.embed_masks(img, fused_w, keep_w)),
         ):
             if name == "t_sam":
                 seg_w, bmaps_w, valid_w = fn()
-                jax.block_until_ready(seg_w)
+                fetch(valid_w)
             elif name == "t_obj":
                 _, _, match_w = fn()
                 fused_w, keep_w = match_w.fused_maps, match_w.keep
-                jax.block_until_ready(keep_w)
+                fetch(keep_w)
             else:
-                jax.block_until_ready(fn())
+                fetch(fn())
             t0 = time.time()
             for _ in range(4):
-                out = fn()
-                jax.block_until_ready(out)
-            sys.stderr.write(f"[bench] {name}: {(time.time()-t0)/4:.4f}s\n")
+                fetch(fn())
+            t = (time.time() - t0) / 4 - rtt
+            sys.stderr.write(f"[bench] {name}: {t:.4f}s (+{rtt:.3f}s rtt)\n")
         sys.stderr.flush()
 
     pipelined = os.environ.get("OVO_BENCH_PIPELINED") == "1"

@@ -127,6 +127,27 @@ def _scatter_append(state: MapState, points: Array, colors: Array,
                     (state.next_point_id + n_new).astype(jnp.int32))
 
 
+def grow_map_state(state: MapState, new_capacity: int) -> MapState:
+    """Re-pad the buffers to a larger capacity bucket (SURVEY hard-part 2:
+    recompilation-free growth = a handful of power-of-two buckets per scene;
+    each bucket re-specializes the jitted programs once)."""
+    if new_capacity <= state.capacity:
+        return state
+    pad = new_capacity - state.capacity
+    return MapState(
+        points=jnp.concatenate(
+            [state.points, jnp.zeros((pad, 3), jnp.float32)]),
+        point_ids=jnp.concatenate(
+            [state.point_ids, jnp.full((pad,), -1, jnp.int32)]),
+        obj_ids=jnp.concatenate(
+            [state.obj_ids, jnp.full((pad,), -1, jnp.int32)]),
+        colors=jnp.concatenate(
+            [state.colors, jnp.zeros((pad, 3), jnp.uint8)]),
+        count=state.count,
+        next_point_id=state.next_point_id,
+    )
+
+
 def map_dict(state: MapState) -> dict:
     """Reference-compatible checkpoint dict (vanilla_mapper.py:105-112):
     only the valid prefix is exported, keys/layout identical."""

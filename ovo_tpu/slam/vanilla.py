@@ -15,8 +15,8 @@ from typing import Any, Dict, List
 import jax.numpy as jnp
 import numpy as np
 
-from ..mapping.map_state import (MapState, from_map_dict, init_map_state,
-                                 map_dict, map_insert_frame)
+from ..mapping.map_state import (MapState, from_map_dict, grow_map_state,
+                                 init_map_state, map_dict, map_insert_frame)
 
 
 class VanillaMapper:
@@ -30,7 +30,15 @@ class VanillaMapper:
                                          mapping.get("downscale_ratio", 2)))
         self.match_distance_th = 0.03  # 3 cm (vanilla_mapper.py:15)
         capacity = int(mapping.get("n_points_capacity", 2 ** 21))
-        self.state: MapState = init_map_state(capacity)
+        self.max_capacity = capacity
+        # bucketed growth: per-frame device programs scale with the buffer
+        # capacity, so start small and double on demand (a few extra
+        # compiles per scene instead of paying 2M-point cost from frame 0)
+        self.bucketed = bool(mapping.get("bucketed_growth", True))
+        start = min(capacity, int(mapping.get("initial_capacity", 2 ** 18)))
+        self.state: MapState = init_map_state(
+            start if self.bucketed else capacity)
+        self._count_ub = 0
         self.estimated_c2ws: Dict[int, np.ndarray] = {}
         self.kfs: Dict[int, Any] = {}
         self.map_updated = False
@@ -48,6 +56,18 @@ class VanillaMapper:
     # -- mapping --------------------------------------------------------
     def map(self, frame_data: List[Any], c2w) -> None:
         image, depth = frame_data[1], frame_data[2]
+        if self.bucketed:
+            # grow BEFORE the insert could overflow. Uses a host-side upper
+            # bound on count (sum of per-frame maxima) -- reading the real
+            # count would cost a device round-trip every mapping step
+            headroom = (depth.shape[0] * depth.shape[1]
+                        // max(self.downscale, 1) ** 2)
+            self._count_ub += headroom
+            cap = self.state.capacity
+            while cap < self.max_capacity and self._count_ub > cap:
+                cap = min(cap * 2, self.max_capacity)
+            if cap != self.state.capacity:
+                self.state = grow_map_state(self.state, cap)
         self.state = map_insert_frame(
             self.state, jnp.asarray(image), jnp.asarray(depth, jnp.float32),
             jnp.asarray(c2w, jnp.float32), self.cam_intrinsics,
@@ -80,7 +100,14 @@ class VanillaMapper:
         return map_dict(self.state)
 
     def set_map_dict(self, d: Dict[str, Any]) -> None:
-        self.state = from_map_dict(d, capacity=self.state.capacity)
+        import numpy as _np
+
+        n = int(_np.asarray(d["xyz"]).shape[0])
+        cap = self.state.capacity
+        while cap < n:
+            cap = min(cap * 2, max(self.max_capacity, n))
+        self.state = from_map_dict(d, capacity=cap)
+        self._count_ub = n
 
     def get_cam_dict(self) -> Dict[int, np.ndarray]:
         return {k: np.asarray(v) for k, v in self.estimated_c2ws.items()}

@@ -114,3 +114,53 @@ def test_map_dict_roundtrip(rng):
     assert int(state2.count) == int(state.count)
     np.testing.assert_allclose(np.asarray(state2.points[:int(state.count)]),
                                d["xyz"], atol=0)
+
+
+def test_bucketed_growth_preserves_map(rng):
+    """grow_map_state + VanillaMapper bucketing: buffers double on demand
+    and content/ids survive growth (SURVEY hard-part 2)."""
+    import jax.numpy as jnp
+
+    from ovo_tpu.mapping.map_state import grow_map_state, init_map_state
+    from ovo_tpu.slam.vanilla import VanillaMapper
+
+    state = init_map_state(64)
+    state = state._replace(
+        points=state.points.at[:10].set(1.5),
+        point_ids=state.point_ids.at[:10].set(jnp.arange(10)),
+        count=jnp.asarray(10, jnp.int32),
+        next_point_id=jnp.asarray(10, jnp.int32))
+    grown = grow_map_state(state, 256)
+    assert grown.capacity == 256
+    assert int(grown.count) == 10
+    np.testing.assert_allclose(np.asarray(grown.points[:10]), 1.5)
+    assert int(grown.point_ids[10]) == -1
+    # no-op shrink
+    assert grow_map_state(grown, 64).capacity == 256
+
+    H, W = 32, 48
+    cfg = {"mapping": {"n_points_capacity": 1 << 13, "k_pooling": 1,
+                       "downscale_res": 1, "initial_capacity": 1 << 9}}
+    K = np.array([[40.0, 0, 23.5], [0, 40.0, 15.5], [0, 0, 1]], np.float32)
+    m = VanillaMapper(cfg, K)
+    assert m.state.capacity == 1 << 9
+    c2w = np.eye(4, dtype=np.float32)
+    for i in range(4):
+        c2w2 = c2w.copy()
+        c2w2[0, 3] = i * 2.0  # disjoint views -> all points new
+        depth = rng.uniform(1.0, 2.0, (H, W)).astype(np.float32)
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        m.track_camera([i, img, depth, c2w2])
+        m.map([i, img, depth, c2w2], c2w2)
+    assert m.state.capacity > (1 << 9)          # grew
+    assert m.state.capacity <= (1 << 13)        # capped
+    n = int(m.state.count)
+    assert n > 3 * H * W                        # nothing dropped
+    ids = np.asarray(m.state.point_ids[:n])
+    assert len(np.unique(ids)) == n             # stable unique ids
+
+    # checkpoint roundtrip grows the restore bucket as needed
+    d = m.get_map_dict()
+    m2 = VanillaMapper(cfg, K)
+    m2.set_map_dict(d)
+    assert int(m2.state.count) == n
