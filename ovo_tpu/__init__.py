@@ -27,3 +27,18 @@ Layout (mirrors SURVEY.md section 2's component inventory):
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when a site plugin force-registers an accelerator
+# backend (this sandbox's sitecustomize registers the axon TPU plugin in a
+# way that ignores the env var; the config API wins). Without this, a
+# "JAX_PLATFORMS=cpu" run silently grabs the TPU -- and concurrent clients
+# crash the shared TPU worker.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # already initialized with devices in use
+        pass
