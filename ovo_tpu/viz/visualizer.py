@@ -88,6 +88,59 @@ def export_colored_pcd(output_dir, points, obj_ids, rgb_colors=None,
                   heatmap_colors(np.asarray(query_values)))
 
 
+def instance_obbs(points: np.ndarray, obj_ids: np.ndarray) -> dict:
+    """Per-instance oriented bounding boxes (reference visualizer.py:401-599
+    ``visualize_3d_points_obj_id_and_obb`` uses open3d OBBs; here: PCA-
+    aligned boxes computed directly). Returns {id: {center, axes (3,3 rows =
+    directions), extent (3,)}}."""
+    out = {}
+    for ins_id in np.unique(obj_ids):
+        if ins_id < 0:
+            continue
+        pts = points[obj_ids == ins_id]
+        if len(pts) < 4:
+            continue
+        c = pts.mean(axis=0)
+        x = pts - c
+        cov = x.T @ x / len(x)
+        w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+        axes = v.T[::-1]                     # rows: major->minor directions
+        proj = x @ axes.T
+        lo, hi = proj.min(axis=0), proj.max(axis=0)
+        center = c + 0.5 * (lo + hi) @ axes
+        out[int(ins_id)] = {"center": center, "axes": axes,
+                            "extent": (hi - lo)}
+    return out
+
+
+def obb_corners(obb: dict) -> np.ndarray:
+    """(8, 3) world-space corners of one OBB."""
+    signs = np.array([[sx, sy, sz] for sx in (-.5, .5) for sy in (-.5, .5)
+                      for sz in (-.5, .5)])
+    return obb["center"] + (signs * obb["extent"]) @ obb["axes"]
+
+
+_OBB_EDGES = [(0, 1), (0, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 7),
+              (6, 7), (0, 4), (1, 5), (2, 6), (3, 7)]
+
+
+def export_obb_lineset(path, obbs: dict, samples_per_edge: int = 24) -> None:
+    """Headless OBB view: wireframes rendered as dense point samples along
+    the 12 edges of each box (PLY points are viewer-agnostic)."""
+    pts, cols = [], []
+    t = np.linspace(0.0, 1.0, samples_per_edge)[:, None]
+    for ins_id, obb in obbs.items():
+        corners = obb_corners(obb)
+        color = instance_colors(np.array([ins_id]))[0]
+        for a, b in _OBB_EDGES:
+            seg = corners[a] * (1 - t) + corners[b] * t
+            pts.append(seg)
+            cols.append(np.tile(color, (samples_per_edge, 1)))
+    if not pts:
+        return
+    write_ply(path, np.concatenate(pts), np.concatenate(cols))
+
+
 def stream_pcd(queue, conn, flag, output_dir, show: bool = False,
                queries: Optional[Sequence[str]] = None) -> None:
     """Viewer-process target (reference visualizer.py:324-393 stream loop +
@@ -180,9 +233,14 @@ class Visualizer:
         return vals
 
     def visualize_and_query(self, points, obj_ids, colors=None,
-                            queries: Optional[Sequence[str]] = None) -> None:
+                            queries: Optional[Sequence[str]] = None,
+                            show_obbs: bool = False) -> None:
         points = np.asarray(points)
         obj_ids = np.asarray(obj_ids).reshape(-1)
+        if show_obbs:
+            self.output_dir.mkdir(parents=True, exist_ok=True)
+            export_obb_lineset(self.output_dir / "map_obbs.ply",
+                               instance_obbs(points, obj_ids))
         if not _HAS_O3D:
             export_colored_pcd(self.output_dir, points, obj_ids, colors)
             for q in queries or []:

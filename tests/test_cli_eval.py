@@ -128,3 +128,31 @@ def test_gt_vs_pred_view(tmp_path):
                tmp_path / "pred.txt", tmp_path / "out",
                dataset_info=str(tmp_path / "info.yaml"))
     assert (tmp_path / "out" / "gt_vs_pred.ply").exists()
+
+
+def test_instance_obbs_recover_box_geometry(tmp_path, rng):
+    """PCA OBBs (reference OBB view): a rotated box of points yields an OBB
+    with the right extent regardless of orientation."""
+    from ovo_tpu.viz.visualizer import (export_obb_lineset, instance_obbs,
+                                        obb_corners)
+
+    n = 500
+    local = np.stack([rng.uniform(-1.0, 1.0, n), rng.uniform(-0.25, 0.25, n),
+                      rng.uniform(-0.05, 0.05, n)], 1)
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    pts = local @ R.T + np.array([3.0, -1.0, 2.0])
+    obj = np.zeros(n, np.int32)
+    obbs = instance_obbs(pts.astype(np.float32), obj)
+    assert set(obbs) == {0}
+    ext = np.sort(obbs[0]["extent"])[::-1]
+    assert abs(ext[0] - 2.0) < 0.1 and abs(ext[1] - 0.5) < 0.1
+    np.testing.assert_allclose(obbs[0]["center"], [3.0, -1.0, 2.0], atol=0.1)
+    corners = obb_corners(obbs[0])
+    assert corners.shape == (8, 3)
+    # every point inside the box (with epsilon)
+    rel = (pts - obbs[0]["center"]) @ obbs[0]["axes"].T
+    assert (np.abs(rel) <= obbs[0]["extent"] / 2 + 1e-3).all()
+    export_obb_lineset(tmp_path / "obbs.ply", obbs)
+    assert (tmp_path / "obbs.ply").stat().st_size > 0

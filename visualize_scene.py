@@ -65,7 +65,8 @@ def main(args):
         if map_params.get("color") is not None else None
 
     viz = Visualizer(ovo, output_dir=scene_path / "vis_out")
-    viz.visualize_and_query(points, obj_ids, colors, queries=args.queries)
+    viz.visualize_and_query(points, obj_ids, colors, queries=args.queries,
+                            show_obbs=args.obb)
 
 
 if __name__ == "__main__":
@@ -82,4 +83,7 @@ if __name__ == "__main__":
                         help="GT mesh ply matching the label files")
     parser.add_argument("--dataset_info", default=None,
                         help="eval_info.yaml for raw->reduced GT remap")
+    parser.add_argument("--obb", action="store_true",
+                        help="also export per-instance oriented bounding "
+                             "boxes (visualizer.py:401-599 OBB view)")
     main(parser.parse_args())
