@@ -126,8 +126,13 @@ class CLIPModel:
         """images (..., H, W, 3) float in [0,1] -> normalized model input."""
         size = size or self.cfg.vision.image_size
         if images.shape[-3] != size or images.shape[-2] != size:
-            shape = images.shape[:-3] + (size, size, 3)
-            images = jax.image.resize(images, shape, "bilinear")
+            from ..ops.resize import resize_channels_last
+
+            lead = images.shape[:-3]
+            flat = images.reshape((-1,) + images.shape[-3:]) \
+                if lead else images
+            flat = resize_channels_last(flat, (size, size))
+            images = flat.reshape(lead + (size, size, 3)) if lead else flat
         return (images - self._mean) / self._std
 
     # -- encoders -------------------------------------------------------

@@ -29,6 +29,36 @@ from .model import SAMConfig, SAMModel
 Array = jax.Array
 
 
+def _bilinear_matrix(src: int, dst: int) -> np.ndarray:
+    """(src, dst) sparse-as-dense bilinear interpolation matrix matching
+    jax.image.resize's half-pixel convention. Lets mask upsampling run as
+    two MXU matmuls instead of a gather-based resize."""
+    scale = src / dst
+    pos = (np.arange(dst) + 0.5) * scale - 0.5
+    lo = np.floor(pos).astype(np.int64)
+    w_hi = (pos - lo).astype(np.float32)
+    lo_c = np.clip(lo, 0, src - 1)
+    hi_c = np.clip(lo + 1, 0, src - 1)
+    m = np.zeros((src, dst), np.float32)
+    m[lo_c, np.arange(dst)] += 1.0 - w_hi
+    m[hi_c, np.arange(dst)] += w_hi
+    return m
+
+
+def upsample_bilinear_matmul(x: Array, out_hw: Tuple[int, int]) -> Array:
+    """(M, h, w) -> (M, H, W) bilinear via separable matmuls."""
+    h, w = x.shape[-2:]
+    H, W = out_hw
+    mh = jnp.asarray(_bilinear_matrix(h, H))
+    mw = jnp.asarray(_bilinear_matrix(w, W))
+    y = jnp.einsum("mhw,hH->mHw", x, mh,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("mHw,wW->mHW", y, mw,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def grid_points(points_per_side: int) -> np.ndarray:
     """Normalized [0,1] grid point prompts (SAM AMG build_point_grid)."""
     offset = 1.0 / (2 * points_per_side)
@@ -184,9 +214,10 @@ def _amg_program(params, cfg: SAMConfig, image: Array, points: Array, *,
     final_valid = valid_c[m_sel]
     final_stab = jnp.where(final_valid, stab_c[m_sel], -jnp.inf)
 
-    # upsample kept masks to image resolution (bilinear on logits)
+    # upsample kept masks to image resolution (bilinear on logits, as two
+    # MXU matmuls -- gather-based resize is slow on TPU)
     lg = logits[sel][m_sel]
-    lg_up = jax.image.resize(lg, (max_masks, *out_hw), "bilinear")
+    lg_up = upsample_bilinear_matmul(lg, out_hw)
     bmaps = (lg_up > mask_threshold) & final_valid[:, None, None]
     seg = masks_to_seg_map(bmaps, final_stab, final_valid)
     return seg, bmaps, final_valid, final_stab

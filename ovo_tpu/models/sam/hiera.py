@@ -190,7 +190,9 @@ def hiera_forward(params: Params, cfg: HieraConfig, imgs: Array
     x = x + params["patch"]["b"].astype(x.dtype)
     B, H, W, C = x.shape
 
-    pos = jax.image.resize(params["pos_embed"], (H, W, C), "bicubic")
+    from ...ops.resize import resize_channels_last
+
+    pos = resize_channels_last(params["pos_embed"], (H, W), kind="cubic")
     win = params["pos_embed_window"]
     tiled = jnp.tile(win, (-(-H // win.shape[0]), -(-W // win.shape[1]), 1))
     x = x + (pos + tiled[:H, :W]).astype(x.dtype)

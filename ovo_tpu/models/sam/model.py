@@ -69,7 +69,9 @@ class SAMModel:
         """(H, W, 3) float [0,1] -> (1, S, S, 3) normalized, square resize
         (SAM2 predictor convention)."""
         s = self.cfg.image_size
-        img = jax.image.resize(image, (s, s, 3), "bilinear")
+        from ...ops.resize import resize_channels_last
+
+        img = resize_channels_last(image, (s, s))
         return ((img - self._mean) / self._std)[None].astype(self.cfg.dtype)
 
     def encode_image(self, image: Array) -> Tuple[Array, List[Array]]:

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.masked_pool import masked_single_query_attention
+from ..ops.resize import resize_channels_last, resize_planes
 from . import layers as L
 from . import vit as vit_mod
 from .clip import CLIPModel, _normalize
@@ -96,7 +97,7 @@ def _textregion_program(params: Dict[str, Any], cfg, image: Array,
     n_prefix = 1 if cfg.use_cls_token else 0
 
     def prep(img_hw3: Array) -> Array:
-        x = jax.image.resize(img_hw3, (crop_size, crop_size, 3), "bilinear")
+        x = resize_channels_last(img_hw3, (crop_size, crop_size))
         return (x - mean) / std
 
     if crop_num_h == 0:  # single-resolution path
@@ -126,7 +127,7 @@ def _textregion_program(params: Dict[str, Any], cfg, image: Array,
         # blend each tile's tokens at half weight
         D = tokens.shape[-1]
         global_grid = tokens[0].reshape(patch_num, patch_num, D)
-        canvas = jax.image.resize(global_grid, (pph, ppw, D), "bilinear")
+        canvas = resize_channels_last(global_grid, (pph, ppw))
         crop_id = 1
         for hi in range(crop_num_h):
             for wi in range(crop_num_w):
@@ -141,8 +142,9 @@ def _textregion_program(params: Dict[str, Any], cfg, image: Array,
 
     # soft feature masks (textregion.py:145-161)
     M = masks.shape[0]
-    fmask = jax.image.resize(masks.astype(jnp.float32), (M, pph, ppw),
-                             "bilinear")
+    # 2-tap bilinear downscale like the reference's F.interpolate (jax's
+    # resize would antialias); runs as matmuls
+    fmask = resize_planes(masks.astype(jnp.float32), (pph, ppw))
     fmask = jnp.clip(fmask.reshape(M, pph * ppw), 0.0, 1.0)
 
     if remove_global:
