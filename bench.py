@@ -67,6 +67,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # persist compiles across crash-retry re-execs: a retry then only
+        # re-executes, shrinking the window where the flaky worker can die
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ovo_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     _wait_for_healthy_worker()
 
     from ovo_tpu.mapping import association, instances as inst

@@ -105,6 +105,45 @@ def run_scene(scene: str, dataset: str, experiment_name: str,
     print("Finished run.✨")
 
 
+def _scene_worker(scene: str, dataset: str, experiment_name: str,
+                  tmp_run: bool, device_idx: int, n_devices: int) -> None:
+    """One scene in its own process, pinned to one local accelerator chip.
+    Scene-level mapping is embarrassingly parallel (SURVEY.md section 2.7);
+    on a v5e-8 host this is the multi-scene fan-out of BASELINE config 5."""
+    if n_devices > 1:
+        os.environ["TPU_VISIBLE_DEVICES"] = str(device_idx)
+        os.environ["TPU_PROCESS_BOUNDS"] = "1,1,1"
+    t0 = time.time()
+    run_scene(scene, dataset, experiment_name, tmp_run=tmp_run)
+    print(f"Scene {scene} took: {time.time() - t0:.2f}")
+
+
+def _run_scenes_parallel(scenes, dataset, experiment_name, tmp_run,
+                         n_workers: int) -> None:
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    pending = list(scenes)
+    running = []
+    slot = 0
+    while pending or running:
+        while pending and len(running) < n_workers:
+            scene = pending.pop(0)
+            p = ctx.Process(target=_scene_worker,
+                            args=(scene, dataset, experiment_name, tmp_run,
+                                  slot % n_workers, n_workers))
+            p.start()
+            running.append((scene, p))
+            slot += 1
+        for scene, p in list(running):
+            p.join(timeout=1)
+            if not p.is_alive():
+                running.remove((scene, p))
+                if p.exitcode != 0:
+                    raise RuntimeError(
+                        f"scene {scene} failed (exit {p.exitcode})")
+
+
 def main(args):
     if args.experiment_name is None:
         experiment_name = datetime.now().strftime("%Y%m%d_%H%M")
@@ -129,14 +168,20 @@ def main(args):
             scenes = dataset_info["scenes"]
 
     input_path = ""
-    for scene in scenes:
-        input_path = f"./data/input/Datasets/{args.dataset_name}/{scene}"
-        if args.run:
-            t0 = time.time()
-            run_scene(scene, args.dataset_name, experiment_name,
-                      tmp_run=tmp_run)
-            print(f"Scene {scene} took: {time.time() - t0:.2f}")
-        gc.collect()
+    if args.run and args.parallel_scenes > 1:
+        _run_scenes_parallel(scenes, args.dataset_name, experiment_name,
+                             tmp_run, args.parallel_scenes)
+        input_path = (f"./data/input/Datasets/{args.dataset_name}/"
+                      f"{scenes[-1]}" if scenes else "")
+    else:
+        for scene in scenes:
+            input_path = f"./data/input/Datasets/{args.dataset_name}/{scene}"
+            if args.run:
+                t0 = time.time()
+                run_scene(scene, args.dataset_name, experiment_name,
+                          tmp_run=tmp_run)
+                print(f"Scene {scene} took: {time.time() - t0:.2f}")
+            gc.collect()
 
     if args.segment:
         for scene in scenes:
@@ -169,4 +214,7 @@ if __name__ == "__main__":
     parser.add_argument("--segment", action="store_true")
     parser.add_argument("--eval", action="store_true")
     parser.add_argument("--ignore_background", action="store_true")
+    parser.add_argument("--parallel_scenes", type=int, default=1,
+                        help="run N scenes concurrently, one process per "
+                             "local accelerator chip (scene-level fan-out)")
     main(parser.parse_args())
