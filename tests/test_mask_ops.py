@@ -126,3 +126,64 @@ def test_compact_masks(rng):
     assert np.asarray(v2).tolist() == [True] * 3 + [False] * 3
     np.testing.assert_array_equal(np.asarray(m2[:3]), masks[[1, 3, 4]])
     np.testing.assert_allclose(np.asarray(s2[:3]), scores[[1, 3, 4]])
+
+
+class TestMatmulResize:
+    """ops/resize.py: separable matmul interpolation must match
+    jax.image.resize for upscale and torch F.interpolate for downscale/
+    bicubic (the reference's conventions)."""
+
+    def test_linear_upscale_matches_jax(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from ovo_tpu.ops.resize import resize_channels_last, resize_planes
+
+        x = jnp.asarray(rng.standard_normal((14, 18, 5)).astype(np.float32))
+        a = jax.image.resize(x, (37, 45, 5), "bilinear")
+        b = resize_channels_last(x, (37, 45))
+        assert float(jnp.abs(a - b).max()) < 1e-4
+        y = jnp.asarray(rng.standard_normal((3, 16, 20)).astype(np.float32))
+        a = jax.image.resize(y, (3, 33, 50), "bilinear")
+        b = resize_planes(y, (33, 50))
+        assert float(jnp.abs(a - b).max()) < 1e-4
+
+    def test_downscale_matches_torch_interpolate(self, rng):
+        import jax.numpy as jnp
+        import torch
+        import torch.nn.functional as F
+
+        from ovo_tpu.ops.resize import resize_planes
+
+        y = rng.standard_normal((3, 64, 96)).astype(np.float32)
+        t = F.interpolate(torch.from_numpy(y)[None], size=(20, 30),
+                          mode="bilinear", align_corners=False,
+                          antialias=False)[0].numpy()
+        j = np.asarray(resize_planes(jnp.asarray(y), (20, 30)))
+        assert np.abs(t - j).max() < 1e-4
+
+    def test_bicubic_matches_torch(self, rng):
+        import jax.numpy as jnp
+        import torch
+        import torch.nn.functional as F
+
+        from ovo_tpu.ops.resize import resize_channels_last
+
+        x = rng.standard_normal((14, 14, 9)).astype(np.float32)
+        t = F.interpolate(torch.from_numpy(x).permute(2, 0, 1)[None],
+                          size=(37, 45), mode="bicubic",
+                          align_corners=False)[0].permute(1, 2, 0).numpy()
+        b = np.asarray(resize_channels_last(jnp.asarray(x), (37, 45),
+                                            kind="cubic"))
+        assert np.abs(t - b).max() < 1e-4
+
+    def test_batched_channels_last(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from ovo_tpu.ops.resize import resize_channels_last
+
+        xb = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+        a = jax.image.resize(xb, (2, 16, 16, 3), "bilinear")
+        b = resize_channels_last(xb, (16, 16))
+        assert float(jnp.abs(a - b).max()) < 1e-5
