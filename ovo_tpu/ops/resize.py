@@ -61,9 +61,20 @@ def _mats(h: int, w: int, out_hw: Tuple[int, int], kind: str, dtype):
 
 def resize_channels_last(x: Array, out_hw: Tuple[int, int], *,
                          kind: str = "linear") -> Array:
-    """(h, w, C) or (B, h, w, C) -> (..., H, W, C)."""
+    """(h, w, C) or (B, h, w, C) -> (..., H, W, C).
+
+    Small channel counts (an RGB image's C=3) would waste the 128-wide lane
+    dimension; those route through the planes layout so W sits in lanes.
+    """
     batched = x.ndim == 4
     h, w = x.shape[1:3] if batched else x.shape[:2]
+    C = x.shape[-1]
+    if C < 32:
+        planes = (x.reshape(-1, h, w, C) if batched else x[None])
+        planes = planes.transpose(0, 3, 1, 2).reshape(-1, h, w)
+        out = resize_planes(planes, out_hw, kind=kind)
+        out = out.reshape(-1, C, out_hw[0], out_hw[1]).transpose(0, 2, 3, 1)
+        return out if batched else out[0]
     mh, mw = _mats(h, w, out_hw, kind, x.dtype)
     eq1 = "bhwc,hH->bHwc" if batched else "hwc,hH->Hwc"
     eq2 = "bHwc,wW->bHWc" if batched else "Hwc,wW->HWc"
