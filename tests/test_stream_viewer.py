@@ -46,10 +46,20 @@ def test_query_handshake_mapper_side(tmp_path):
     queue, viewer_conn, flag = sem_map.enable_stream(spawn_process=False)
     sem_map.run()
 
-    # the run streamed frames into the queue
+    # the run streamed frames into the queue. mp.Queue puts go through a
+    # feeder thread, so empty() may be True before items flush under load;
+    # drain with a deadline instead.
+    import queue as queue_mod
+    import time as time_mod
     frames = []
-    while not queue.empty():
-        item = queue.get()
+    deadline = time_mod.time() + 30.0
+    while time_mod.time() < deadline:
+        try:
+            item = queue.get(timeout=0.5)
+        except queue_mod.Empty:
+            if len(frames) >= 3:
+                break
+            continue
         if item is not None:
             frames.append(item)
     assert len(frames) >= 3
