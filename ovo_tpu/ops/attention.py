@@ -50,7 +50,7 @@ def xla_attention(q: Array, k: Array, v: Array,
 # ---------------------------------------------------------------------------
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float,
-                  causal: bool):
+                  causal: bool, kv_len: int):
     q = q_ref[0].astype(jnp.float32) * scale          # (block_q, d)
     block_q, d = q.shape
     lk = k_ref.shape[1]
@@ -63,12 +63,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float,
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if causal:
+        if causal or kv_len < lk:
             q_ids = jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0) + q_block_start
             k_ids = i * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
-            s = jnp.where(q_ids >= k_ids, s, -1e30)
+            ok = k_ids < kv_len
+            if causal:
+                ok &= q_ids >= k_ids
+            s = jnp.where(ok, s, -1e30)
         m_cur = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
@@ -87,13 +90,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "causal", "block_q",
-                                             "block_k", "interpret"))
+                                             "block_k", "kv_len",
+                                             "interpret"))
 def flash_attention(q: Array, k: Array, v: Array, *,
                     scale: Optional[float] = None, causal: bool = False,
                     block_q: int = 256, block_k: int = 256,
+                    kv_len: Optional[int] = None,
                     interpret: bool = False) -> Array:
     """(B, H, L, D) fused attention. L must be padded to block multiples by
-    the caller (wrapper below handles it)."""
+    the caller (wrapper below handles it). ``kv_len`` masks out padded key
+    rows beyond that (static) length."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     scale = scale if scale is not None else d ** -0.5
@@ -107,7 +113,8 @@ def flash_attention(q: Array, k: Array, v: Array, *,
 
     out = pl.pallas_call(
         functools.partial(_flash_kernel, block_k=bk, scale=scale,
-                          causal=causal),
+                          causal=causal,
+                          kv_len=lk if kv_len is None else kv_len),
         grid=(b * h, lq // bq),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
@@ -140,21 +147,26 @@ def dot_product_attention(q: Array, k: Array, v: Array,
         return xla_attention(q, k, v, mask=mask, scale=scale)
 
     lq, lk, d = q.shape[-2], k.shape[-2], q.shape[-1]
-    if d % 128 != 0 or lq < 128 or lk < 128:
+    # The kernel streams K/V blocks; head dims just need lane-friendly
+    # multiples of 8 (the MXU pads the contraction internally). Short
+    # sequences are cheaper as one batched XLA matmul.
+    if d % 8 != 0 or d > 256 or lq < 128 or lk < 128:
         if causal:
             mask = jnp.tril(jnp.ones((lq, lk), bool))[None, None]
         return xla_attention(q, k, v, mask=mask, scale=scale)
 
-    # pad sequence lengths to block multiples
+    # pad sequence lengths to block multiples; padded keys are masked out
+    # inside the kernel (kv_len), padded query rows are sliced off
     bq = 128 if lq % 256 else 256
     bk = 128 if lk % 256 else 256
     pad_q = (-lq) % bq
     pad_k = (-lk) % bk
-    if pad_k and not causal:
-        # padded keys would receive weight; fall back (cheap path anyway)
-        return xla_attention(q, k, v, scale=scale)
     if pad_q:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
     out = flash_attention(q, k, v, scale=scale, causal=causal,
-                          block_q=bq, block_k=bk)
+                          block_q=bq, block_k=bk,
+                          kv_len=lk if pad_k else None)
     return out[..., :lq, :]

@@ -31,6 +31,36 @@ def test_flash_attention_causal(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("d", [64, 72])
+def test_flash_attention_small_head_dim(rng, d):
+    """PE ViT (hd=64) and Hiera (hd=72) head dims route through the kernel."""
+    b, h, l = 2, 2, 256
+    q = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    ref = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_ragged_kv(rng):
+    """Padded key rows beyond kv_len must receive zero weight (PE's L=577
+    pads to 640)."""
+    b, h, lq, lk_valid, d = 1, 2, 128, 193, 64
+    lk_pad = 256
+    q = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, lk_valid, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, lk_valid, d)), jnp.float32)
+    ref = xla_attention(q, k, v)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - lk_valid), (0, 0)))
+    # poison the padded value rows: they must not leak into the output
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - lk_valid), (0, 0)),
+                 constant_values=1e6)
+    got = flash_attention(q, kp, vp, block_q=128, block_k=128,
+                          kv_len=lk_valid, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_masked_pool_matches_xla(rng):
     m, h, l, d = 5, 4, 96, 32
     q = jnp.asarray(rng.standard_normal((m, h, d)), jnp.float32)
