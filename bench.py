@@ -214,7 +214,11 @@ def main():
             sys.stderr.write(f"[bench] {name}: {t:.4f}s (+{rtt:.3f}s rtt)\n")
         sys.stderr.flush()
 
-    pipelined = os.environ.get("OVO_BENCH_PIPELINED") == "1"
+    # Default: steady-state throughput with the host fetch of frame i-1
+    # overlapping frame i's device chain -- exactly how the online pipeline
+    # runs (SPSC prefetch + deferred-CLIP queue, ovo.py:326-364).
+    # OVO_BENCH_SYNC=1 forces a full per-frame sync instead.
+    pipelined = os.environ.get("OVO_BENCH_SYNC") != "1"
     t0 = time.time()
     if pipelined:
         # steady-state throughput: dispatch frame i, then fetch frame i-1's
@@ -250,7 +254,7 @@ if __name__ == "__main__":
         sys.exit(main())
     except Exception as e:  # the sandboxed TPU worker occasionally restarts
         attempt = int(os.environ.get("OVO_BENCH_RETRY", "0"))
-        if attempt < 5:
+        if attempt < 8:
             sys.stderr.write(f"bench attempt {attempt} failed "
                              f"({type(e).__name__}); retrying on a fresh "
                              "runtime\n")
@@ -258,9 +262,10 @@ if __name__ == "__main__":
             # immediate retries crash again (_wait_for_healthy_worker then
             # probes before the heavy programs start)
             os.environ["OVO_BENCH_RETRY"] = str(attempt + 1)
-            if attempt >= 1:
-                # repeated TPU-worker crashes: drop to the pure-XLA kernels
-                # (slightly slower, but isolates Pallas kernel faults)
+            if attempt >= 3:
+                # persistent crashes: drop to the pure-XLA kernels as a
+                # last resort (crashes have historically been concurrent-
+                # client contention, not kernel faults, so only late)
                 os.environ["OVO_NO_PALLAS"] = "1"
                 sys.stderr.write("bench: disabling Pallas kernels for the "
                                  "remaining attempts\n")

@@ -23,11 +23,34 @@ import jax
 import jax.numpy as jnp
 
 from .. import geometry as geo
+from ..ops import segment_mxu
 from . import instances as inst
 from .instances import InstanceStore
 from .map_state import MapState, _scatter_append
 
 Array = jax.Array
+
+
+def _validated_seg_image(seg_map: Array, mask_valid: Array, M: int) -> Array:
+    """Per-pixel validated seg map as f32: seg id if the id is in range and
+    its mask slot is valid, else -1. Computed ONCE in pixel space (H*W) so
+    the per-point side needs no small-table gathers (TPU gathers profiled at
+    ~8 ns/row; the MXU lookup is ~30x cheaper at 2M rows)."""
+    tbl = jnp.concatenate([
+        jnp.where(mask_valid, jnp.arange(M, dtype=jnp.int32), -1),
+        jnp.asarray([-1], jnp.int32)])
+    idx = jnp.where((seg_map >= 0) & (seg_map < M), seg_map, M)
+    out = segment_mxu.table_lookup(idx.reshape(-1), tbl.astype(jnp.float32))
+    return out.reshape(seg_map.shape)
+
+
+def _mask_slot_lookup(seg: Array, slot_values: Array, M: int) -> Array:
+    """out[i] = slot_values[seg[i]] if seg[i] in [0, M) else -1, via the MXU
+    (replaces a 2M-row gather into a 97-row table)."""
+    tbl = jnp.concatenate([slot_values.astype(jnp.float32),
+                           jnp.asarray([-1.0], jnp.float32)])
+    idx = jnp.where((seg >= 0) & (seg < M), seg, M)
+    return segment_mxu.table_lookup(idx, tbl).astype(jnp.int32)
 
 
 def _vote_matmul(seg_row: Array, vote_col: Array, M: int, Kcap: int) -> Array:
@@ -97,27 +120,39 @@ def associate_keyframe(
     obj = map_state.obj_ids
 
     # ---- geometry: cull + project + depth match (ovo.py:204-222) ----
+    seg_img = _validated_seg_image(seg_map, mask_valid, M)  # pixel space
     corners = geo.compute_camera_frustum_corners(depth, c2w, K)
     in_frustum = geo.points_in_frustum(points, corners,
                                        valid=map_state.valid_mask())
     depth_m = geo.depth_filter(depth) if use_depth_filter else depth
-    matched, uv = geo.match_points_to_depth(
-        depth_m, jnp.linalg.inv(c2w), points, K, match_distance_th,
-        valid=in_frustum)
+
+    h, w = depth.shape
+    uv, z = geo.project_points(points, K, jnp.linalg.inv(c2w))
+    in_plane = ((uv[:, 0] >= 0) & (uv[:, 0] < w) &
+                (uv[:, 1] >= 0) & (uv[:, 1] < h))
+    uc = jnp.clip(uv[:, 0], 0, w - 1)
+    vc = jnp.clip(uv[:, 1], 0, h - 1)
 
     # RGB/depth resolution remap (ovo.py:218-221): depth-res pixel ->
     # RGB-res pixel of the (higher-resolution) segmentation map.
-    u, v = uv[:, 0], uv[:, 1]
-    if rgb_depth_ratio is not None:
+    if rgb_depth_ratio is None:
+        # one packed 2-channel gather: filtered depth + validated seg id
+        packed = jnp.stack([depth_m, seg_img], axis=-1)
+        g = packed[vc, uc]
+        d_m, seg_pt = g[:, 0], g[:, 1].astype(jnp.int32)
+    else:
+        d_m = depth_m[vc, uc]
         r_h, r_w, crop_edge = rgb_depth_ratio
-        u = ((u + crop_edge).astype(jnp.float32) * r_w).astype(jnp.int32)
-        v = ((v + crop_edge).astype(jnp.float32) * r_h).astype(jnp.int32)
-    Hr, Wr = seg_map.shape
-    u = jnp.clip(u, 0, Wr - 1)
-    v = jnp.clip(v, 0, Hr - 1)
-    seg = jnp.where(matched, seg_map[v, u], -1)
-    seg = jnp.where((seg >= 0) & (seg < M) & mask_valid[jnp.clip(seg, 0, M - 1)],
-                    seg, -1)
+        u2 = ((uc + crop_edge).astype(jnp.float32) * r_w).astype(jnp.int32)
+        v2 = ((vc + crop_edge).astype(jnp.float32) * r_h).astype(jnp.int32)
+        Hr, Wr = seg_map.shape
+        u2 = jnp.clip(u2, 0, Wr - 1)
+        v2 = jnp.clip(v2, 0, Hr - 1)
+        seg_pt = seg_img[v2, u2].astype(jnp.int32)
+
+    matched = (in_frustum & in_plane
+               & (jnp.abs(z - d_m) < match_distance_th) & (d_m != 0))
+    seg = jnp.where(matched, seg_pt, -1)
 
     # ---- per-mask vote counts (replaces the _track_objects loop) ----
     # One-hot matmuls on the MXU instead of 2M-element scatter-adds (TPU
@@ -240,6 +275,10 @@ def associate_and_insert_keyframe(
     obj = map_state.obj_ids
     h, w = depth.shape
 
+    # ---- pixel-space tables (cheap: H*W work, not N work) ----
+    depth_m = geo.depth_filter(depth) if use_depth_filter else depth
+    seg_img = _validated_seg_image(seg_map, mask_valid, M)  # (Hr, Wr) f32
+
     # ---- shared geometry: one projection + ONE packed gather ----
     corners = geo.compute_camera_frustum_corners(depth, c2w, K)
     in_frustum = geo.points_in_frustum(points, corners,
@@ -249,26 +288,30 @@ def associate_and_insert_keyframe(
                 (uv[:, 1] >= 0) & (uv[:, 1] < h))
     uc = jnp.clip(uv[:, 0], 0, w - 1)
     vc = jnp.clip(uv[:, 1], 0, h - 1)
-    depth_m = geo.depth_filter(depth) if use_depth_filter else depth
-    packed = jnp.stack([depth, depth_m], axis=-1)       # (h, w, 2)
-    g = packed[vc, uc]                                   # one 2M-row gather
-    d_raw, d_m = g[:, 0], g[:, 1]
-    base = in_frustum & in_plane
-    matched = base & (jnp.abs(z - d_m) < match_distance_th) & (d_m != 0)
-    ins_matched = base & (jnp.abs(z - d_raw) < insert_match_th) & (d_raw != 0)
 
-    # ---- association (identical math to associate_keyframe) ----
-    u2, v2 = uc, vc
-    if rgb_depth_ratio is not None:
+    if rgb_depth_ratio is None:
+        # RGB == depth resolution: fold the seg map into the SAME gather as
+        # the depth channels (ids <= M are exact in f32)
+        packed = jnp.stack(
+            [depth, depth_m, seg_img, jnp.zeros_like(depth)], axis=-1)
+        g = packed[vc, uc]                               # one 2M-row gather
+        d_raw, d_m, seg_pt = g[:, 0], g[:, 1], g[:, 2].astype(jnp.int32)
+    else:
+        packed = jnp.stack([depth, depth_m], axis=-1)
+        g = packed[vc, uc]
+        d_raw, d_m = g[:, 0], g[:, 1]
         r_h, r_w, crop_edge = rgb_depth_ratio
         u2 = ((uc + crop_edge).astype(jnp.float32) * r_w).astype(jnp.int32)
         v2 = ((vc + crop_edge).astype(jnp.float32) * r_h).astype(jnp.int32)
-    Hr, Wr = seg_map.shape
-    u2 = jnp.clip(u2, 0, Wr - 1)
-    v2 = jnp.clip(v2, 0, Hr - 1)
-    seg = jnp.where(matched, seg_map[v2, u2], -1)
-    seg = jnp.where((seg >= 0) & (seg < M)
-                    & mask_valid[jnp.clip(seg, 0, M - 1)], seg, -1)
+        Hr, Wr = seg_map.shape
+        u2 = jnp.clip(u2, 0, Wr - 1)
+        v2 = jnp.clip(v2, 0, Hr - 1)
+        seg_pt = seg_img[v2, u2].astype(jnp.int32)
+
+    base = in_frustum & in_plane
+    matched = base & (jnp.abs(z - d_m) < match_distance_th) & (d_m != 0)
+    ins_matched = base & (jnp.abs(z - d_raw) < insert_match_th) & (d_raw != 0)
+    seg = jnp.where(matched, seg_pt, -1)
 
     seg_row = jnp.where(seg >= 0, seg, M)
     assigned = obj >= 0
@@ -293,7 +336,7 @@ def associate_and_insert_keyframe(
                             jnp.where(case_new, new_id, -1)).astype(jnp.int32)
     n_new = jnp.sum(case_new.astype(jnp.int32))
 
-    point_ins = jnp.where(seg >= 0, ins_of_mask[jnp.clip(seg, 0, M - 1)], -1)
+    point_ins = _mask_slot_lookup(seg, ins_of_mask, M)   # MXU, not gather
     update = (~assigned) & (point_ins >= 0)
     new_obj = jnp.where(update, point_ins, obj)
     map_state = map_state._replace(obj_ids=new_obj)
@@ -308,12 +351,12 @@ def associate_and_insert_keyframe(
 
     seg_dest = jnp.where(has_ins, first_idx, M)
     flat = binary_maps.reshape(M, -1)
-    fused_flat = jnp.zeros_like(flat).at[seg_dest].max(flat, mode="drop")
+    fused_flat = segment_mxu.segment_or(seg_dest, flat, M)  # one MXU matmul
     fused_maps = fused_flat.reshape(binary_maps.shape)
 
     seg_flat = seg_map.reshape(-1)
-    seg_area = jnp.zeros((M,), jnp.int32).at[
-        jnp.where(seg_flat >= 0, seg_flat, M)].add(1, mode="drop")
+    seg_area = segment_mxu.histogram(
+        jnp.where(seg_flat >= 0, seg_flat, M), M).astype(jnp.int32)
     fused_area = jnp.sum(fused_flat.astype(jnp.int32), axis=1)
     areas = jnp.where(group_size > 1, fused_area, seg_area).astype(jnp.int32)
 
@@ -327,13 +370,16 @@ def associate_and_insert_keyframe(
 
     # ---- map insert (map_state.map_insert_frame semantics, reusing the
     # shared match) ----
-    def dedup(mask):
-        hits = jnp.zeros(depth.shape, jnp.bool_).at[vc, uc].max(
-            ins_matched, mode="drop")
-        return geo.max_pool_erode(mask & ~hits, k_pooling)
-
-    ins_mask = jax.lax.cond(map_state.count > 0, dedup, lambda m: m,
-                            depth > 0)
+    # Unconditional dedup + select: lax.cond shuttles the big carried
+    # buffers through the conditional (profiled at ~20 ms of copies); the
+    # dedup math itself is ~2 ms, so compute it always and select.
+    hits = jnp.zeros(depth.shape, jnp.bool_).at[vc, uc].max(
+        ins_matched, mode="drop")
+    have_map = map_state.count > 0
+    ins_mask = jnp.where(
+        have_map,
+        geo.max_pool_erode((depth > 0) & ~hits, k_pooling),
+        depth > 0)
     if downscale > 1:
         ins_mask = ins_mask[::downscale, ::downscale]
         depth_ds = depth[::downscale, ::downscale]

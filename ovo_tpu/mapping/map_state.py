@@ -111,17 +111,63 @@ def map_insert_frame(state: MapState, image: Array, depth: Array, c2w: Array,
 def _scatter_append(state: MapState, points: Array, colors: Array,
                     new_mask: Array) -> MapState:
     """Append points[new_mask] (row-major order, same as the reference's
-    boolean indexing) into the fixed buffers at offset ``count``."""
-    order = jnp.cumsum(new_mask.astype(jnp.int32)) - 1  # rank among new points
+    boolean indexing) into the fixed buffers at offset ``count``.
+
+    TPU scatters execute row-at-a-time (a 204k-row scatter profiled at
+    ~25 ms), so this is stream compaction + ONE contiguous window write per
+    buffer instead: stable-sort the new rows to the front, roll them to the
+    window offset, blend with the existing window contents, and
+    dynamic-update-slice the window back (a plain DMA). The window anchors
+    at min(count, N - W) so it always fits; rows past logical capacity fall
+    outside the window and are dropped, matching the scatter's mode="drop".
+    """
+    Wn = new_mask.shape[0]
+    N = state.capacity
     n_new = jnp.sum(new_mask.astype(jnp.int32))
-    dest = jnp.where(new_mask, state.count + order, state.capacity)  # drop pad
-    new_points = state.points.at[dest].set(points.astype(jnp.float32), mode="drop")
-    new_colors = state.colors.at[dest].set(colors.astype(jnp.uint8), mode="drop")
-    ids = state.next_point_id + order
-    new_pids = state.point_ids.at[dest].set(ids.astype(jnp.int32), mode="drop")
-    new_objs = state.obj_ids.at[dest].set(jnp.full(order.shape, -1, jnp.int32),
-                                          mode="drop")
-    new_count = jnp.minimum(state.count + n_new, state.capacity)
+
+    if Wn >= N:  # degenerate tiny-map case (tests): keep the scatter path
+        order = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+        dest = jnp.where(new_mask, state.count + order, N)
+        new_points = state.points.at[dest].set(
+            points.astype(jnp.float32), mode="drop")
+        new_colors = state.colors.at[dest].set(
+            colors.astype(jnp.uint8), mode="drop")
+        ids = state.next_point_id + order
+        new_pids = state.point_ids.at[dest].set(
+            ids.astype(jnp.int32), mode="drop")
+        new_objs = state.obj_ids.at[dest].set(
+            jnp.full(order.shape, -1, jnp.int32), mode="drop")
+        new_count = jnp.minimum(state.count + n_new, N)
+        return MapState(new_points, new_pids, new_objs, new_colors,
+                        new_count.astype(jnp.int32),
+                        (state.next_point_id + n_new).astype(jnp.int32))
+
+    start = jnp.minimum(state.count, N - Wn)
+    offset = state.count - start                      # 0 unless map near-full
+    # stable compaction: new rows first, original row-major order
+    perm = jnp.argsort(~new_mask, stable=True)
+    i = jnp.arange(Wn)
+    is_new = (i >= offset) & (i < offset + n_new)
+
+    def window_write(buf, vals, dtype):
+        comp = jnp.roll(vals[perm], offset, axis=0).astype(dtype)
+        old = jax.lax.dynamic_slice_in_dim(buf, start, Wn, axis=0)
+        sel = is_new if old.ndim == 1 else is_new[:, None]
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, jnp.where(sel, comp, old), start, axis=0)
+
+    rank_ids = (state.next_point_id + (i - offset)).astype(jnp.int32)
+    new_points = window_write(state.points, points, jnp.float32)
+    new_colors = window_write(state.colors, colors, jnp.uint8)
+    # ids/objs don't need the gather: after compaction row offset+r IS rank r
+    old_pids = jax.lax.dynamic_slice_in_dim(state.point_ids, start, Wn, axis=0)
+    new_pids = jax.lax.dynamic_update_slice_in_dim(
+        state.point_ids, jnp.where(is_new, rank_ids, old_pids), start, axis=0)
+    old_objs = jax.lax.dynamic_slice_in_dim(state.obj_ids, start, Wn, axis=0)
+    new_objs = jax.lax.dynamic_update_slice_in_dim(
+        state.obj_ids, jnp.where(is_new, -1, old_objs), start, axis=0)
+
+    new_count = jnp.minimum(state.count + n_new, N)
     return MapState(new_points, new_pids, new_objs, new_colors,
                     new_count.astype(jnp.int32),
                     (state.next_point_id + n_new).astype(jnp.int32))

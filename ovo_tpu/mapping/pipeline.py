@@ -213,7 +213,10 @@ class OVOSemMap:
                 time.sleep(0.02)
             self.pcd_queue.put(None)
         if self.viewer_proc is not None:
-            self.viewer_proc.join(timeout=90)
+            # generous: under machine load the headless viewer can take a
+            # while to drain remaining frames and write final exports, and
+            # terminating it early loses them
+            self.viewer_proc.join(timeout=300)
             if self.viewer_proc.is_alive():
                 self.viewer_proc.terminate()
             self.viewer_proc = None

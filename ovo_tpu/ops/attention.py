@@ -147,10 +147,12 @@ def dot_product_attention(q: Array, k: Array, v: Array,
         return xla_attention(q, k, v, mask=mask, scale=scale)
 
     lq, lk, d = q.shape[-2], k.shape[-2], q.shape[-1]
-    # The kernel streams K/V blocks; head dims just need lane-friendly
-    # multiples of 8 (the MXU pads the contraction internally). Short
-    # sequences are cheaper as one batched XLA matmul.
-    if d % 8 != 0 or d > 256 or lq < 128 or lk < 128:
+    # The kernel handles any head dim that is a multiple of 8 (ragged KV via
+    # kv_len), but traced end-to-end XLA's fused attention is FASTER for the
+    # small-head-dim towers here (PE hd=64: 36->57 ms per TextRegion call;
+    # Hiera hd=72: AMG 90->101 ms), so "auto" only routes MXU-native head
+    # dims through it. Callers can force the kernel with impl="flash".
+    if impl != "flash" and (d % 128 != 0 or lq < 128 or lk < 128):
         if causal:
             mask = jnp.tril(jnp.ones((lq, lk), bool))[None, None]
         return xla_attention(q, k, v, mask=mask, scale=scale)

@@ -91,6 +91,8 @@ def masks_to_seg_map(masks: Array, stability: Array, valid: Array) -> Array:
     masks sorted by stability descending, earlier mask wins overlapping
     pixels). Output values index the ORIGINAL mask axis; -1 = unassigned.
     """
+    from .segment_mxu import table_lookup
+
     N = masks.shape[0]
     neg = jnp.asarray(-jnp.inf, stability.dtype)
     s = jnp.where(valid, stability, neg)
@@ -98,10 +100,12 @@ def masks_to_seg_map(masks: Array, stability: Array, valid: Array) -> Array:
     # per pixel: the covering mask with the smallest rank wins
     rank_map = jnp.where(masks & valid[:, None, None], rank[:, None, None], N)
     best = jnp.min(rank_map, axis=0)
-    # invert rank -> original index
+    # invert rank -> original index; H*W-element lookup into an N-row table
+    # runs on the MXU (a TPU gather here profiled at ~6 ms vs <1 ms)
     inv = jnp.argsort(-s, stable=True)  # inv[rank] = original index
-    idx = inv[jnp.clip(best, 0, N - 1)]
-    return jnp.where(best < N, idx, -1).astype(jnp.int32)
+    tbl = jnp.concatenate([inv.astype(jnp.int32), jnp.asarray([-1], jnp.int32)])
+    idx = table_lookup(best.reshape(-1), tbl.astype(jnp.float32))
+    return idx.astype(jnp.int32).reshape(best.shape)
 
 
 def compact_masks(keep: Array, masks: Array, scores: Array,

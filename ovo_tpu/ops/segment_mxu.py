@@ -1,0 +1,101 @@
+"""Small-codomain gather/scatter replacements that run on the MXU.
+
+TPU gathers and scatters execute row-at-a-time; profiling the association
+program (SURVEY.md section 3.1 hot loop 4) showed each 2M-element lookup
+into a tiny (~100-row) table costing 16+ ms, and 816k-element histograms /
+row-wise OR scatters costing 6-18 ms -- while the equivalent chunked
+one-hot matmuls run in ~1-3 ms on the MXU (counts accumulate exactly in
+f32 for values < 2^24, and 0/1 one-hots are exact in bf16).
+
+These helpers express index-space operations whose index codomain is SMALL
+(mask slots, instance ids) as dense matmuls:
+
+  table_lookup    out[i] = table[idx[i]]          (gather replacement)
+  histogram       out[t] = #{i : idx[i] == t}     (scatter-add replacement)
+  segment_or      out[t] = OR_i {rows[i] : idx[i] == t}  (scatter-max repl.)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_CHUNK = 2 ** 18
+
+
+def _chunked(idx: Array, n_table: int):
+    """Reshape (N,) indices to scan chunks, mapping out-of-range to
+    n_table - 1 is NOT done here -- callers route invalid entries to a
+    dedicated slot first. Pads with n_table (one-hot of which is all-zero
+    when num_classes == n_table)."""
+    N = idx.shape[0]
+    ch = min(N, _CHUNK)
+    pad = (-N) % ch
+    if pad:
+        idx = jnp.concatenate([idx, jnp.full((pad,), n_table, jnp.int32)])
+    return idx.reshape(-1, ch), pad
+
+
+def table_lookup(idx: Array, table: Array) -> Array:
+    """out[i] = table[idx[i]] for idx in [0, T); out-of-range rows return 0.
+    table: (T,) or (T, C) f32/i32. Exact for integer tables < 2^24."""
+    squeeze = table.ndim == 1
+    tbl = table[:, None] if squeeze else table
+    T = tbl.shape[0]
+    out_dtype = tbl.dtype
+    tbl_f = tbl.astype(jnp.float32)
+    chunks, pad = _chunked(idx.astype(jnp.int32), T)
+
+    # one_hot rows are exact in f32; f32 x f32 matmul keeps integer tables
+    # exact (values < 2^24)
+    def body(_, s):
+        oh = jax.nn.one_hot(s, T, dtype=jnp.float32)
+        val = jax.lax.dot_general(
+            oh, tbl_f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return None, val
+
+    _, vals = jax.lax.scan(body, None, chunks)
+    out = vals.reshape(-1, tbl.shape[1])
+    if pad:
+        out = out[:idx.shape[0]]
+    out = out.astype(out_dtype)
+    return out[:, 0] if squeeze else out
+
+
+def histogram(idx: Array, n_bins: int, weights: Array | None = None) -> Array:
+    """out[t] = sum of weights (default 1) where idx == t, for t in
+    [0, n_bins). Out-of-range indices are dropped. Exact for integer counts
+    < 2^24 (bf16 one-hots, f32 accumulation)."""
+    chunks, _ = _chunked(idx.astype(jnp.int32), n_bins)
+    if weights is None:
+        w_chunks = jnp.ones(chunks.shape, jnp.bfloat16)
+    else:
+        w = weights.astype(jnp.float32)
+        pad = chunks.size - w.shape[0]
+        if pad:
+            w = jnp.concatenate([w, jnp.zeros((pad,), jnp.float32)])
+        w_chunks = w.reshape(chunks.shape).astype(jnp.bfloat16)
+
+    def body(acc, x):
+        s, w = x
+        oh = jax.nn.one_hot(s, n_bins, dtype=jnp.bfloat16)
+        return acc + jax.lax.dot_general(
+            w[None, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[0], None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((n_bins,), jnp.float32), (chunks, w_chunks))
+    return out
+
+
+def segment_or(idx: Array, rows: Array, n_segments: int) -> Array:
+    """out[t] = OR of rows[i] where idx[i] == t. rows: (N, L) bool,
+    idx: (N,) in [0, n_segments); out-of-range rows are dropped.
+    Runs as one (n_segments, N) x (N, L) matmul."""
+    oh = jax.nn.one_hot(idx, n_segments, dtype=jnp.bfloat16)      # (N, S)
+    acc = jax.lax.dot_general(
+        oh, rows.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                        # (S, L)
+    return acc > 0.5
