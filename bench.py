@@ -127,21 +127,53 @@ def main():
         # and the descriptor path) -> a single authoritative fetch per frame
         return store.desc_cnt[:8].sum() + state.count
 
-    def keyframe_step(state, store, kf_id):
-        img = images[kf_id % len(images)]
-        seg, bmaps, valid = amg.get_masks(img, kf_id)
+    def assoc_frame(state, store, seg, bmaps, valid, img, kf_id):
         # fused association + vanilla map insert: one program, shared 2M-
         # point projection and pixel gathers
-        state, store, match = association.associate_and_insert_keyframe(
+        return association.associate_and_insert_keyframe(
             state, store, seg, bmaps, valid, img, depth_dev, c2w_dev, K_dev,
             jnp.asarray(kf_id, jnp.int32), match_distance_th=0.05,
             track_th=100, use_depth_filter=True, unbounded_top_k=True,
             k_pooling=3, downscale=2)
+
+    def keyframe_step(state, store, kf_id):
+        img = images[kf_id % len(images)]
+        seg, bmaps, valid = amg.get_masks(img, kf_id)
+        state, store, match = assoc_frame(state, store, seg, bmaps, valid,
+                                          img, kf_id)
         descs = embedder.embed_masks(img, match.fused_maps, match.keep)
         store = inst.update_descriptors(
             store, match.ins_ids, descs.astype(jnp.float32),
             jnp.asarray(kf_id, jnp.int32), match.keep)
         return state, store, match
+
+    # micro-batching SAM via vmap measured slightly SLOWER on-chip (5.30 vs
+    # 5.61 kf/s: vmap batches matmuls instead of growing their M dims), so
+    # serial is the default; the capability stays for future native-batch
+    # encoders
+    sam_batch = int(os.environ.get("OVO_BENCH_SAM_BATCH", "1"))
+
+    def keyframe_batch_step(state, store, kf_id0):
+        """B keyframes: SAM + TextRegion micro-batched (map-independent),
+        association strictly sequential per keyframe (map-dependent)."""
+        imgs = jnp.stack([images[(kf_id0 + j) % len(images)]
+                          for j in range(sam_batch)])
+        seg_b, bmaps_b, valid_b = amg.get_masks_batch(
+            imgs, list(range(kf_id0, kf_id0 + sam_batch)))
+        matches = []
+        for j in range(sam_batch):
+            state, store, match = assoc_frame(
+                state, store, seg_b[j], bmaps_b[j], valid_b[j], imgs[j],
+                kf_id0 + j)
+            matches.append(match)
+        descs_b = embedder.embed_masks_batch(
+            imgs, jnp.stack([m.fused_maps for m in matches]),
+            jnp.stack([m.keep for m in matches]))
+        for j, match in enumerate(matches):
+            store = inst.update_descriptors(
+                store, match.ins_ids, descs_b[j].astype(jnp.float32),
+                jnp.asarray(kf_id0 + j, jnp.int32), match.keep)
+        return state, store, matches[-1]
 
     # warmup compiles + executes each stage with a sync in between (short
     # device bursts; the sandbox worker has crashed on very long first-run
@@ -219,6 +251,14 @@ def main():
     # runs (SPSC prefetch + deferred-CLIP queue, ovo.py:326-364).
     # OVO_BENCH_SYNC=1 forces a full per-frame sync instead.
     pipelined = os.environ.get("OVO_BENCH_SYNC") != "1"
+    if sam_batch > 1:
+        # warm the batched programs once before timing
+        sys.stderr.write(f"[bench] warming sam_batch={sam_batch}\n")
+        sys.stderr.flush()
+        state, store, _ = keyframe_batch_step(state, store, WARMUP)
+        np.asarray(sync_probe(state, store))
+
+    n_frames = ITERS * max(sam_batch, 1)
     t0 = time.time()
     if pipelined:
         # steady-state throughput: dispatch frame i, then fetch frame i-1's
@@ -226,21 +266,29 @@ def main():
         # online pipeline's deferred-CLIP queue (ovo.py:326-364)
         prev = None
         for i in range(ITERS):
-            state, store, match = keyframe_step(state, store, WARMUP + i)
+            if sam_batch > 1:
+                state, store, match = keyframe_batch_step(
+                    state, store, WARMUP + i * sam_batch)
+            else:
+                state, store, match = keyframe_step(state, store, WARMUP + i)
             if prev is not None:
                 np.asarray(prev)
             prev = sync_probe(state, store)
         np.asarray(prev)
     else:
         for i in range(ITERS):
-            state, store, match = keyframe_step(state, store, WARMUP + i)
+            if sam_batch > 1:
+                state, store, match = keyframe_batch_step(
+                    state, store, WARMUP + i * sam_batch)
+            else:
+                state, store, match = keyframe_step(state, store, WARMUP + i)
             # force full completion of this frame's chain: the probe depends
             # on AMG -> association -> TextRegion -> descriptor update and
             # on the map insert
             np.asarray(sync_probe(state, store))
     dt = time.time() - t0
 
-    fps = ITERS / dt
+    fps = n_frames / dt
     print(json.dumps({
         "metric": "keyframes_per_sec_semantic_hot_path",
         "value": round(fps, 3),

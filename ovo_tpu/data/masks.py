@@ -88,6 +88,22 @@ class CallableMaskSource:
                                   self.max_masks)
         return jnp.asarray(seg), jnp.asarray(b), jnp.asarray(valid)
 
+    def get_masks_batch(self, images, frame_ids):
+        """Loop fallback so the pipeline's sam_batch path is exercisable
+        with recorded/synthetic sources (no device batching to win here)."""
+        outs = [self.get_masks(img, fid)
+                for img, fid in zip(images, frame_ids)]
+        h, w = np.asarray(images[0]).shape[:2]
+        segs, bs, vs = [], [], []
+        for seg, b, valid in outs:
+            if seg is None:
+                segs.append(jnp.full((h, w), -1, jnp.int32))
+                bs.append(jnp.zeros((self.max_masks, h, w), bool))
+                vs.append(jnp.zeros((self.max_masks,), bool))
+            else:
+                segs.append(seg); bs.append(b); vs.append(valid)
+        return jnp.stack(segs), jnp.stack(bs), jnp.stack(vs)
+
 
 class RecordedEmbedder:
     """Embedder backed by a lookup: label -> unit vector. For tests and

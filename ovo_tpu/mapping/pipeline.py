@@ -326,6 +326,12 @@ class OVOSemMap:
 
             jax.profiler.stop_trace()
             self._trace_state = -1
+        if getattr(self.ovo, "_pending", None):
+            # sam_batch > 1: segment + associate any still-buffered keyframes
+            new_state = self.ovo.flush_segmentation(
+                self.slam_backbone.get_map())
+            if new_state is not None:
+                self.slam_backbone.update_pcd_obj_ids(new_state)
         self.ovo.complete_semantic_info()
         self._close_stream()
         t_end = time.time()

@@ -83,6 +83,17 @@ class SemanticMapper:
         self.frame_ids: List[int] = []    # kf_id -> dataset frame id
         self._time_cache: List[float] = []
 
+        # SAM micro-batching (perf knob, default off = exact reference
+        # cadence): masks are map-independent, so B segment-keyframes can
+        # share one batched SAM/embedder program while association stays
+        # strictly sequential per keyframe. Association of a buffered frame
+        # then runs (B-1)*segment_every frames later against the
+        # correspondingly fuller map -- the same deferral family as the
+        # reference's kf_queue_delay on the CLIP side (ovo.py:326-332).
+        sam_cfg = config.get("sam", {})
+        self.sam_batch = int(sam_cfg.get("batch", 1))
+        self._pending: List[tuple] = []   # (frame_id, image, depth, ratio, c2w)
+
     # ------------------------------------------------------------------
     # Per-keyframe association
     # ------------------------------------------------------------------
@@ -92,6 +103,14 @@ class SemanticMapper:
         """frame_data: (frame_id, image, depth, rgb_depth_ratio)."""
         frame_id, image, depth, rgb_depth_ratio = frame_data
 
+        if (self.sam_batch > 1
+                and hasattr(self.mask_source, "get_masks_batch")):
+            self._pending.append((frame_id, image, depth, rgb_depth_ratio,
+                                  np.asarray(c2w)))
+            if len(self._pending) < self.sam_batch:
+                return None
+            return self.flush_segmentation(map_state)
+
         t0 = time.time()
         seg_map, binary_maps, mask_valid = self.mask_source.get_masks(
             image, frame_id)
@@ -99,7 +118,37 @@ class SemanticMapper:
             print(f"No mask segmented in {frame_id}!")
             return None
         t_sam = time.time() - t0
+        return self._associate(frame_id, image, depth, rgb_depth_ratio, c2w,
+                               seg_map, binary_maps, mask_valid, map_state,
+                               t_sam)
 
+    def flush_segmentation(self, map_state: MapState) -> Optional[MapState]:
+        """Segment all buffered keyframes in one batched SAM program, then
+        associate each strictly in order against the evolving map."""
+        if not self._pending:
+            return None
+        pending, self._pending = self._pending, []
+        t0 = time.time()
+        imgs = np.stack([p[1] for p in pending])
+        seg_b, bmaps_b, valid_b = self.mask_source.get_masks_batch(
+            imgs, [p[0] for p in pending])
+        t_sam = time.time() - t0
+        out = None
+        for j, (frame_id, image, depth, ratio, c2w) in enumerate(pending):
+            if not bool(np.asarray(valid_b[j]).any()):
+                print(f"No mask segmented in {frame_id}!")
+                continue
+            new_state = self._associate(
+                frame_id, image, depth, ratio, c2w, seg_b[j], bmaps_b[j],
+                valid_b[j], map_state if out is None else out,
+                t_sam / len(pending))
+            if new_state is not None:
+                out = new_state
+        return out
+
+    def _associate(self, frame_id, image, depth, rgb_depth_ratio, c2w,
+                   seg_map, binary_maps, mask_valid, map_state,
+                   t_sam) -> Optional[MapState]:
         last_id = int(self.store.next_id)
         t0 = time.time()
         ratio = tuple(rgb_depth_ratio) if len(rgb_depth_ratio) else None
@@ -134,39 +183,67 @@ class SemanticMapper:
     # ------------------------------------------------------------------
 
     def compute_semantic_info(self) -> None:
-        if len(self.keyframes_queue) > self.kf_queue_delay:
-            self._compute_semantic_info()
+        # pop one keyframe per segment step (ovo.py:326-332); with SAM
+        # micro-batching the queue grows by sam_batch per flush, so pop in
+        # matching batches through the batched embedder program
+        n = 0
+        while (len(self.keyframes_queue) > self.kf_queue_delay
+               and n < max(self.sam_batch, 1)):
+            take = min(max(self.sam_batch, 1),
+                       len(self.keyframes_queue) - self.kf_queue_delay)
+            self._compute_semantic_info(take)
+            n += take
 
     def complete_semantic_info(self) -> None:
         while self.keyframes_queue:
-            self._compute_semantic_info()
+            self._compute_semantic_info(
+                min(max(self.sam_batch, 1), len(self.keyframes_queue)))
 
-    def _compute_semantic_info(self) -> None:
-        kf = self.keyframes_queue.popleft()
-        ins_ids, keep = kf["ins_ids"], kf["keep"]
-        kf_id = kf["kf_id"]
-
-        if not self.unbounded_top_k:
-            # re-filter: the kf may have been evicted from an instance's
-            # top-k during the queue delay (ovo.py:340-347)
-            keep = keep & inst.is_top_kf(self.store, ins_ids,
-                                         jnp.asarray(kf_id, jnp.int32))
-        if not bool(np.asarray(keep).any()):
+    def _compute_semantic_info(self, take: int = 1) -> None:
+        kfs = [self.keyframes_queue.popleft() for _ in range(take)]
+        keeps = []
+        for kf in kfs:
+            keep = kf["keep"]
+            if not self.unbounded_top_k:
+                # re-filter: the kf may have been evicted from an instance's
+                # top-k during the queue delay (ovo.py:340-347)
+                keep = keep & inst.is_top_kf(
+                    self.store, kf["ins_ids"],
+                    jnp.asarray(kf["kf_id"], jnp.int32))
+            keeps.append(keep)
+        any_keep = [bool(np.asarray(k).any()) for k in keeps]
+        if not any(any_keep):
             return
 
         t0 = time.time()
-        descs = self.embedder.embed_masks(kf["image"], kf["fused_maps"], keep)
+        use_batch = (len(kfs) > 1
+                     and hasattr(self.embedder, "embed_masks_batch")
+                     and all(any_keep))
+        if use_batch:
+            descs_list = self.embedder.embed_masks_batch(
+                np.stack([kf["image"] for kf in kfs]),
+                jnp.stack([kf["fused_maps"] for kf in kfs]),
+                jnp.stack(keeps))
+        else:
+            descs_list = [
+                self.embedder.embed_masks(kf["image"], kf["fused_maps"], k)
+                if ok else None
+                for kf, k, ok in zip(kfs, keeps, any_keep)]
         t_clip = time.time() - t0
 
         t0 = time.time()
-        self.store = inst.update_descriptors(
-            self.store, ins_ids, descs.astype(jnp.float32),
-            jnp.asarray(kf_id, jnp.int32), keep, fusion=self.fusion)
+        for kf, keep, ok, descs in zip(kfs, keeps, any_keep, descs_list):
+            if not ok:
+                continue
+            self.store = inst.update_descriptors(
+                self.store, kf["ins_ids"], descs.astype(jnp.float32),
+                jnp.asarray(kf["kf_id"], jnp.int32), keep,
+                fusion=self.fusion)
         if self.log and self.logger is not None:
             self.store.clip_feature.block_until_ready()
             t_up = time.time() - t0
             self.logger.log_ovo_stats({
-                "frame_id": self.frame_ids[kf_id],
+                "frame_id": self.frame_ids[kfs[-1]["kf_id"]],
                 "t_clip": round(t_clip, 2),
                 "t_up": round(t_up, 3),
             }, print_output=True)
@@ -176,6 +253,9 @@ class SemanticMapper:
     # ------------------------------------------------------------------
 
     def update_map(self, map_state: MapState, kfs=None) -> MapState:
+        flushed = self.flush_segmentation(map_state)
+        if flushed is not None:
+            map_state = flushed
         self.complete_semantic_info()
         map_state, self.store, _ = semantic_loop_closure(
             map_state, self.store, self.th_centroid, self.th_cossim,

@@ -141,13 +141,8 @@ class AutomaticMaskSource:
         self.candidates = candidates
         self.min_area = min_area
 
-    def get_masks(self, image, frame_id: int = None):
-        # NOTE: jnp.asarray keeps device arrays on device (no host round
-        # trip); uint8 frames upload once and normalize on device
-        img = jnp.asarray(image).astype(jnp.float32) / 255.0
-        h, w = img.shape[:2]
-        seg, bmaps, valid, stab = _amg_program(
-            self.model.params, self.model.cfg, img, self.points,
+    def _amg_kwargs(self, out_hw):
+        return dict(
             pred_iou_thresh=self.pred_iou_thresh,
             stability_thresh=self.stability_thresh,
             stability_offset=self.stability_offset,
@@ -156,7 +151,31 @@ class AutomaticMaskSource:
             nms_iou_th=self.nms_iou_th, nms_score_th=self.nms_score_th,
             nms_inner_th=self.nms_inner_th, max_masks=self.max_masks,
             candidates=self.candidates, min_area=self.min_area,
-            out_hw=(h, w))
+            out_hw=out_hw)
+
+    def get_masks(self, image, frame_id: int = None):
+        # NOTE: jnp.asarray keeps device arrays on device (no host round
+        # trip); uint8 frames upload once and normalize on device
+        img = jnp.asarray(image).astype(jnp.float32) / 255.0
+        h, w = img.shape[:2]
+        seg, bmaps, valid, stab = _amg_program(
+            self.model.params, self.model.cfg, img, self.points,
+            **self._amg_kwargs((h, w)))
+        return seg, bmaps, valid
+
+    def get_masks_batch(self, images, frame_ids=None):
+        """Segment a micro-batch of keyframes in one program: masks are
+        map-independent (SURVEY.md section 3.1 -- only the association step
+        reads map state), so batching SAM across segment-keyframes keeps
+        per-keyframe semantics while roughly halving per-op overheads.
+        images: (B, H, W, 3) uint8 -> (seg (B,H,W), bmaps (B,M,H,W),
+        valid (B,M))."""
+        imgs = jnp.asarray(images).astype(jnp.float32) / 255.0
+        h, w = imgs.shape[1:3]
+        fn = functools.partial(_amg_program, **self._amg_kwargs((h, w)))
+        seg, bmaps, valid, stab = jax.vmap(
+            fn, in_axes=(None, None, 0, None))(
+            self.model.params, self.model.cfg, imgs, self.points)
         return seg, bmaps, valid
 
 
@@ -174,11 +193,12 @@ def _amg_program(params, cfg: SAMConfig, image: Array, points: Array, *,
     model = SAMModel(cfg, params)
     x = model.preprocess(image)
     image_embed, high_res = model.encode_image(x)
-    out = model.decode_grid(image_embed, high_res, points)
-
-    # multimask outputs only (SAM AMG multimask_output=True -> channels 1:4)
-    logits = out["masks"][:, 1:4]                        # (P, 3, Hm, Wm)
-    iou = out["iou"][:, 1:4]
+    # multimask outputs only (SAM AMG multimask_output=True -> channels
+    # 1:4); the decoder skips the single-mask channel's hypernet/einsum
+    out = model.decode_grid(image_embed, high_res, points,
+                            mask_channels=(1, 2, 3))
+    logits = out["masks"]                                # (P, 3, Hm, Wm)
+    iou = out["iou"]
     P = logits.shape[0]
     Hm, Wm = logits.shape[-2:]
     logits = logits.reshape(P * 3, Hm, Wm)

@@ -94,13 +94,15 @@ class SAMModel:
         return s16[0], high_res
 
     def decode_grid(self, image_embed: Array, high_res: List[Array],
-                    points01: Array) -> Dict[str, Array]:
+                    points01: Array, mask_channels=None) -> Dict[str, Array]:
         """Batched single-point prompts: points01 (P, 2) in [0,1] -> masks
-        (P, 4, H4, W4) logits + iou (P, 4)."""
+        (P, C, H4, W4) logits + iou (P, C) over ``mask_channels``
+        (default all 4)."""
         H, W, d = image_embed.shape
         sparse = encode_points(
             self.params["prompt"], points01[:, None, :],
             jnp.ones((points01.shape[0], 1), jnp.int32))
         image_pe = pe_grid(self.params["prompt"], H, W)
         return decode_masks(self.params["decoder"], image_embed, image_pe,
-                            sparse, high_res_feats=high_res)
+                            sparse, high_res_feats=high_res,
+                            mask_channels=mask_channels)

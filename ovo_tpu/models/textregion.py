@@ -57,6 +57,15 @@ class TextRegionEmbedder:
         masks = jnp.asarray(binary_maps)
         return self._predict(img, masks)
 
+    def embed_masks_batch(self, images, binary_maps, valid) -> Array:
+        """Micro-batched per-keyframe embedding: images (B, H, W, 3),
+        binary_maps (B, M, H, W) -> (B, M, D). One program; the ViT sees
+        B x (1 + crops) views, which roughly doubles MXU utilization at
+        the per-keyframe batch sizes here."""
+        imgs = jnp.asarray(images, jnp.float32) / 255.0
+        masks = jnp.asarray(binary_maps)
+        return jax.vmap(self._predict)(imgs, masks)
+
     def embed_text(self, texts):
         return _normalize(self.model.encode_text(texts))
 

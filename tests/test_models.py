@@ -205,3 +205,21 @@ def test_merger_conversion_from_torch():
     assert len(p["blocks"]) == 2
     assert p["head"]["fc"]["w"].shape == (d, 8)
     assert p["head"]["proj"]["w"].shape == (8, 1)
+
+
+def test_textregion_batch_matches_single(rng):
+    from ovo_tpu.models.textregion import TextRegionEmbedder
+
+    model = CLIPModel.random_init("tiny-test")
+    emb = TextRegionEmbedder(model, resize_method="multi_resolution")
+    images = (rng.random((2, 128, 160, 3)) * 255).astype(np.uint8)
+    masks = np.zeros((2, 4, 128, 160), bool)
+    masks[0, 0, :40, :40] = True
+    masks[0, 1, 60:120, 80:150] = True
+    masks[1, 0, 10:50, 20:90] = True
+    masks[1, 2, 70:110, 100:140] = True
+    valid = np.ones((2, 4), bool)
+    out_b = np.asarray(emb.embed_masks_batch(images, masks, valid))
+    for j in range(2):
+        out = np.asarray(emb.embed_masks(images[j], masks[j], valid[j]))
+        np.testing.assert_allclose(out_b[j], out, atol=2e-5)

@@ -136,3 +136,32 @@ def test_pipeline_restore_and_requery(pipeline_run, tmp_path):
     sim1 = sem_map.ovo.query(CLASSES, ["{}"])
     sim2 = ovo2.query(CLASSES, ["{}"])
     np.testing.assert_allclose(sim1, sim2, atol=1e-5)
+
+
+def test_pipeline_sam_batch_matches_serial(tmp_path):
+    """sam_batch=2 (micro-batched SAM/embedder, sequential association)
+    produces the same instance map as the serial pipeline on the synthetic
+    scene (masks are map-independent; the map evolves identically here
+    because the synthetic masks don't depend on association timing)."""
+    results = {}
+    for batch in (1, 2):
+        out = tmp_path / f"b{batch}"
+        ds = SyntheticWallDataset(n_frames=12)
+        embeds = class_embeddings(16)
+        text_embeds = {c: embeds[i] for i, c in enumerate(CLASSES)}
+        embedder = RecordedEmbedder(16, mask_label_fn, embeds, text_embeds)
+        mask_source = CallableMaskSource(synthetic_mask_fn, max_masks=16)
+        cfg = make_config()
+        cfg["semantic"]["sam"] = {"batch": batch}
+        sem_map = OVOSemMap(cfg, out, mask_source=mask_source,
+                            embedder=embedder, dataset=ds)
+        sem_map.run()
+        store = sem_map.ovo.store
+        results[batch] = (int(store.next_id),
+                          np.asarray(store.desc_cnt).copy(),
+                          np.asarray(store.clip_feature).copy(),
+                          np.asarray(sem_map.slam_backbone.get_map().count))
+    assert results[1][0] == results[2][0]          # same instances minted
+    np.testing.assert_array_equal(results[1][3], results[2][3])
+    np.testing.assert_array_equal(results[1][1], results[2][1])
+    np.testing.assert_allclose(results[1][2], results[2][2], atol=1e-5)

@@ -223,3 +223,21 @@ def test_sam_conversion_roundtrip(tiny_sam):
                                        atol=1e-6, err_msg=path)
 
     assert_tree_close(p, got)
+
+
+def test_amg_batch_matches_single(tiny_sam):
+    """get_masks_batch is bit-identical per frame to get_masks (SAM is
+    map-independent, so micro-batching keyframes must not change masks)."""
+    amg = AutomaticMaskSource(tiny_sam, points_per_side=4,
+                              pred_iou_thresh=0.0, stability_thresh=0.0,
+                              nms_score_th=0.0, max_masks=16, candidates=32)
+    rng = np.random.default_rng(1)
+    imgs = (rng.random((2, 90, 120, 3)) * 255).astype(np.uint8)
+    seg_b, bmaps_b, valid_b = amg.get_masks_batch(imgs)
+    for j in range(2):
+        seg, bmaps, valid = amg.get_masks(imgs[j], j)
+        np.testing.assert_array_equal(np.asarray(seg_b[j]), np.asarray(seg))
+        np.testing.assert_array_equal(np.asarray(bmaps_b[j]),
+                                      np.asarray(bmaps))
+        np.testing.assert_array_equal(np.asarray(valid_b[j]),
+                                      np.asarray(valid))
