@@ -187,3 +187,52 @@ def _plots(output_path: Path, iou_values, acc_values, labels, ignore,
         plt.close()
     except Exception as e:  # plots are best-effort artifacts
         print(f"plotting skipped: {e}")
+
+
+def eval_scannetpp_semantic(cfg: Dict[str, Any], top_k: List[int] = [1],
+                            verbose: bool = True):
+    """ScanNet++ semantic-segmentation evaluation
+    (/root/reference/ovo/utils/eval_utils.py:238-259). The reference
+    delegates to the scannetpp toolkit's ``eval_semantic`` through a
+    hardcoded personal sys.path; this is a self-contained equivalent over
+    the same inputs: per-vertex prediction files under ``preds_dir``
+    (``<scene>.txt`` -- one class id per line, or k whitespace-separated
+    ids per line for top-k predictions) and GT files under ``gt_dir``,
+    classes from ``classes_file``. Ignore id -100 matches the toolkit.
+
+    Returns top-1 mIoU (float), printing per-class IoU like the reference.
+    """
+    scene_ids = cfg["scene_ids"]
+    with open(cfg["classes_file"]) as f:
+        semantic_classes = f.read().splitlines()
+    num_classes = len(semantic_classes)
+    ignore_id = cfg.get("ignore_id", -100)
+
+    results = {}
+    for k in top_k:
+        confusion = np.zeros((num_classes, num_classes), dtype=np.ulonglong)
+        for scene in scene_ids:
+            pred = np.loadtxt(Path(cfg["preds_dir"]) / f"{scene}.txt",
+                              dtype=np.longlong, ndmin=2)
+            gt = np.loadtxt(Path(cfg["gt_dir"]) / f"{scene}.txt",
+                            dtype=np.longlong).reshape(-1)
+            assert pred.shape[0] == gt.shape[0], \
+                f"{scene}: {pred.shape[0]} preds vs {gt.shape[0]} gt"
+            keep = gt != ignore_id
+            p, g = pred[keep, :k], gt[keep]
+            # top-k: credit the GT class when it appears in the first k
+            # predictions, else count the top-1 prediction as the error
+            hit = (p == g[:, None]).any(axis=1)
+            eff = np.where(hit, g, p[:, 0])
+            update_confmat(confusion, g, eff, [])
+        iou_v, iou_m, _, _, _ = iou_acc_from_confmat(
+            confusion, num_classes, [], True, False, semantic_classes)
+        miou = float(np.mean(iou_v[iou_m]))
+        results[k] = (miou, iou_v)
+        if verbose:
+            print(f"Top {k} mIOU: {miou}")
+    if verbose:
+        for name, class_iou in zip(semantic_classes, results[top_k[-1]][1]):
+            print(f"{name: <25}: {class_iou}")
+        print("----------------------------------------------------")
+    return results[1][0] if 1 in results else results[top_k[0]][0]

@@ -156,3 +156,29 @@ def test_instance_obbs_recover_box_geometry(tmp_path, rng):
     assert (np.abs(rel) <= obbs[0]["extent"] / 2 + 1e-3).all()
     export_obb_lineset(tmp_path / "obbs.ply", obbs)
     assert (tmp_path / "obbs.ply").stat().st_size > 0
+
+
+def test_eval_scannetpp_semantic(tmp_path):
+    """Self-contained ScanNet++ hook: top-1 and top-k mIoU over per-vertex
+    prediction/gt files (reference eval_utils.py:238-259 equivalent)."""
+    import numpy as np
+
+    from ovo_tpu.eval.semantics import eval_scannetpp_semantic
+
+    classes = tmp_path / "classes.txt"
+    classes.write_text("wall\nchair\ntable\n")
+    preds = tmp_path / "preds"; preds.mkdir()
+    gts = tmp_path / "gt"; gts.mkdir()
+    gt = np.array([0, 0, 1, 1, 2, 2, -100])
+    # top-2 predictions: first column top-1
+    pred = np.array([[0, 1], [0, 2], [2, 1], [1, 0], [2, 0], [0, 2], [0, 1]])
+    np.savetxt(preds / "scene0.txt", pred, fmt="%d")
+    np.savetxt(gts / "scene0.txt", gt, fmt="%d")
+    cfg = {"scene_ids": ["scene0"], "classes_file": str(classes),
+           "preds_dir": str(preds), "gt_dir": str(gts)}
+    miou1 = eval_scannetpp_semantic(cfg, top_k=[1], verbose=False)
+    # top-1: wall 2/2 TP, 1 FP (pred[5]) -> wall IoU 2/3; chair TP 1 (idx3),
+    # FN 1, FP 0 -> 1/2; table TP 1, FN 1, FP 1 -> 1/3
+    assert abs(miou1 - np.mean([2/3, 1/2, 1/3])) < 1e-6
+    miou2 = eval_scannetpp_semantic(cfg, top_k=[1, 2], verbose=False)
+    assert miou2 == miou1  # returns top-1 when present
