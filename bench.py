@@ -255,7 +255,9 @@ def main():
         # warm the batched programs once before timing
         sys.stderr.write(f"[bench] warming sam_batch={sam_batch}\n")
         sys.stderr.flush()
-        state, store, _ = keyframe_batch_step(state, store, WARMUP)
+        # warm on a disjoint kf-id range so the first timed batch does not
+        # re-associate frames the warm-up already inserted
+        state, store, _ = keyframe_batch_step(state, store, 10_000)
         np.asarray(sync_probe(state, store))
 
     n_frames = ITERS * max(sam_batch, 1)

@@ -218,6 +218,9 @@ def eval_scannetpp_semantic(cfg: Dict[str, Any], top_k: List[int] = [1],
                             dtype=np.longlong).reshape(-1)
             assert pred.shape[0] == gt.shape[0], \
                 f"{scene}: {pred.shape[0]} preds vs {gt.shape[0]} gt"
+            assert pred.shape[1] >= k, \
+                f"{scene}: top-{k} requested but predictions have only " \
+                f"{pred.shape[1]} column(s)"
             keep = gt != ignore_id
             p, g = pred[keep, :k], gt[keep]
             # top-k: credit the GT class when it appears in the first k

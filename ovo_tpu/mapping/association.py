@@ -181,7 +181,7 @@ def associate_keyframe(
     n_new = jnp.sum(case_new.astype(jnp.int32))
 
     # ---- write instance ids back to unassigned matched points ----
-    point_ins = jnp.where(seg >= 0, ins_of_mask[jnp.clip(seg, 0, M - 1)], -1)
+    point_ins = _mask_slot_lookup(seg, ins_of_mask, M)   # MXU, not gather
     update = (~assigned) & (point_ins >= 0)
     new_obj = jnp.where(update, point_ins, obj)
     map_state = map_state._replace(obj_ids=new_obj)
@@ -196,17 +196,17 @@ def associate_keyframe(
     keep_slot = has_ins & (first_idx == jnp.arange(M))
     group_size = jnp.sum(same, axis=1)
 
-    # OR-fuse binary maps into the first slot of each group via scatter-max
+    # OR-fuse binary maps into the first slot of each group (one MXU matmul)
     seg_dest = jnp.where(has_ins, first_idx, M)
     flat = binary_maps.reshape(M, -1)
-    fused_flat = jnp.zeros_like(flat).at[seg_dest].max(flat, mode="drop")
+    fused_flat = segment_mxu.segment_or(seg_dest, flat, M)
     fused_maps = fused_flat.reshape(binary_maps.shape)
 
     # areas: single mask -> seg-map area (what _track_objects used);
     # fused group -> OR-fused binary area (what the fuse step updates to)
     seg_flat = seg_map.reshape(-1)
-    seg_area = jnp.zeros((M,), jnp.int32).at[
-        jnp.where(seg_flat >= 0, seg_flat, M)].add(1, mode="drop")
+    seg_area = segment_mxu.histogram(
+        jnp.where(seg_flat >= 0, seg_flat, M), M).astype(jnp.int32)
     fused_area = jnp.sum(fused_flat.astype(jnp.int32), axis=1)
     areas = jnp.where(group_size > 1, fused_area, seg_area).astype(jnp.int32)
 

@@ -184,6 +184,13 @@ class OVOSemMap:
         if not pending or not self.query_pipe.poll(timeout):
             return
         query = self.query_pipe.recv()
+        if getattr(self.ovo, "_pending", None):
+            # sam_batch > 1: buffered keyframes must be segmented/associated
+            # before querying, or their instances would be invisible
+            new_state = self.ovo.flush_segmentation(
+                self.slam_backbone.get_map())
+            if new_state is not None:
+                self.slam_backbone.update_pcd_obj_ids(new_state)
         self.ovo.complete_semantic_info()
         state = self.slam_backbone.get_map()
         n = int(state.count)

@@ -241,3 +241,29 @@ def test_amg_batch_matches_single(tiny_sam):
                                       np.asarray(bmaps))
         np.testing.assert_array_equal(np.asarray(valid_b[j]),
                                       np.asarray(valid))
+
+
+def test_conv_transpose2x_matches_torch():
+    """The decoder's 2x2/stride-2 upscale must match torch ConvTranspose2d
+    under the converter's weight layout (kh, kw, Cin, Cout) -- SAM2
+    checkpoints are torch. (jax.lax.conv_transpose with transpose_kernel=
+    False applies the kernel spatially flipped and does NOT match torch;
+    the matmul + depth-to-space form does.)"""
+    import torch
+
+    from ovo_tpu.models.sam.decoder import _conv_transpose2x
+
+    rng = np.random.default_rng(0)
+    cin, cout = 8, 4
+    x = rng.standard_normal((2, 5, 6, cin)).astype(np.float32)
+    wt = rng.standard_normal((cin, cout, 2, 2)).astype(np.float32)
+    b = rng.standard_normal(cout).astype(np.float32)
+    t = torch.nn.ConvTranspose2d(cin, cout, 2, stride=2)
+    with torch.no_grad():
+        t.weight.copy_(torch.from_numpy(wt))
+        t.bias.copy_(torch.from_numpy(b))
+    ref = t(torch.from_numpy(x.transpose(0, 3, 1, 2))).detach().numpy()
+    ref = ref.transpose(0, 2, 3, 1)
+    p = {"w": jnp.asarray(wt.transpose(2, 3, 0, 1)), "b": jnp.asarray(b)}
+    got = np.asarray(_conv_transpose2x(p, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
