@@ -263,11 +263,17 @@ def associate_and_insert_keyframe(
 ) -> Tuple[MapState, InstanceStore, KeyframeMatch]:
     """Fused association + vanilla map insert for frames on both cadences.
 
-    Equivalent to ``associate_keyframe`` followed by
-    ``map_state.map_insert_frame`` but ONE program: the w2c projection of the
-    2M-point map and the per-point pixel gathers are computed once and
-    shared (they dominate the association cost on TPU), and the dispatch/
-    sync overhead is paid once.
+    ONE program: the w2c projection of the 2M-point map and the per-point
+    pixel gathers are computed once and shared (they dominate the
+    association cost on TPU), and the dispatch/sync overhead is paid once.
+
+    ORDERING NOTE: this program associates against the map BEFORE inserting
+    this frame's points. The reference pipeline (ovomapping.py:149-164) maps
+    first, then segments -- so a keyframe's own freshly unprojected points
+    participate in its association votes there. The online pipeline
+    therefore keeps the two-step map() -> associate_keyframe() flow for
+    exact parity; this fused variant serves throughput paths (bench.py)
+    where the one-frame vote difference is irrelevant.
     """
     M = binary_maps.shape[0]
     Kcap = store.capacity

@@ -220,10 +220,14 @@ class OVOSemMap:
                 time.sleep(0.02)
             self.pcd_queue.put(None)
         if self.viewer_proc is not None:
-            # generous: under machine load the headless viewer can take a
-            # while to drain remaining frames and write final exports, and
-            # terminating it early loses them
-            self.viewer_proc.join(timeout=300)
+            # keep answering the query protocol while waiting: a slow viewer
+            # (loaded machine) may issue its scripted queries only after the
+            # run ended, and an unanswered flag=1 stalls it for its full
+            # per-query timeout before it can write the final exports
+            t0 = time.time()
+            while self.viewer_proc.is_alive() and time.time() - t0 < 300:
+                self._serve_stream_query(timeout=0.05)
+                self.viewer_proc.join(timeout=0.5)
             if self.viewer_proc.is_alive():
                 self.viewer_proc.terminate()
             self.viewer_proc = None

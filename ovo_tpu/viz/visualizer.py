@@ -152,6 +152,19 @@ def stream_pcd(queue, conn, flag, output_dir, show: bool = False,
 
     With open3d installed the same loop drives a live window instead.
     """
+    try:
+        _stream_pcd(queue, conn, flag, output_dir, show, queries)
+    except Exception:  # noqa: BLE001 -- subprocess: leave a diagnosable trace
+        import traceback
+
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "viewer_err.txt").write_text(traceback.format_exc())
+        raise
+
+
+def _stream_pcd(queue, conn, flag, output_dir, show: bool = False,
+                queries: Optional[Sequence[str]] = None) -> None:
     import time
 
     queries = list(queries or [])
