@@ -165,3 +165,55 @@ def test_pipeline_sam_batch_matches_serial(tmp_path):
     np.testing.assert_array_equal(results[1][3], results[2][3])
     np.testing.assert_array_equal(results[1][1], results[2][1])
     np.testing.assert_allclose(results[1][2], results[2][2], atol=1e-5)
+
+
+def test_pipeline_restore_map_resume(tmp_path):
+    """Mid-run resume (reference ovomapping.py:68-71,102-116): run half the
+    scene, checkpoint, rebuild with restore_map=True, continue — the resumed
+    run reaches the same instance ids and map size as an uninterrupted one."""
+
+    class Truncated:
+        def __init__(self, ds, n):
+            self._ds, self._n = ds, n
+            self.__dict__.update({k: v for k, v in ds.__dict__.items()
+                                  if k not in ("_ds", "_n")})
+
+        def __len__(self):
+            return self._n
+
+        def __getitem__(self, i):
+            return self._ds[i]
+
+    def build(out, ds, restore=False):
+        embeds = class_embeddings(16)
+        text_embeds = {c: embeds[i] for i, c in enumerate(CLASSES)}
+        embedder = RecordedEmbedder(16, mask_label_fn, embeds, text_embeds)
+        mask_source = CallableMaskSource(synthetic_mask_fn, max_masks=16)
+        cfg = make_config()
+        cfg["restore_map"] = restore
+        return OVOSemMap(cfg, out, mask_source=mask_source,
+                         embedder=embedder, dataset=ds)
+
+    full = SyntheticWallDataset(n_frames=12)
+
+    # uninterrupted reference run
+    out_a = tmp_path / "full"
+    a = build(out_a, full)
+    a.run()
+
+    # half run -> checkpoint -> resume with the full dataset
+    out_b = tmp_path / "resumed"
+    b1 = build(out_b, Truncated(full, 6))
+    b1.run()
+    assert (out_b / "ovo_map.ckpt").exists()
+    assert (out_b / "estimated_c2w.npy").exists()
+    b2 = build(out_b, full, restore=True)
+    assert b2.first_frame == 6
+    b2.run()
+
+    na, nb = int(a.ovo.store.next_id), int(b2.ovo.store.next_id)
+    assert na == nb
+    np.testing.assert_array_equal(
+        np.asarray(a.ovo.store.active), np.asarray(b2.ovo.store.active))
+    assert int(a.slam_backbone.get_map().count) == \
+        int(b2.slam_backbone.get_map().count)
