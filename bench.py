@@ -223,8 +223,11 @@ def main():
         img = images[0]
         for name, fn in (
             ("t_sam", lambda: amg.get_masks(img, 99)),
+            # association donates its state buffers; time against copies
             ("t_obj", lambda: association.associate_and_insert_keyframe(
-                state, store, seg_w, bmaps_w, valid_w, img, depth_dev,
+                jax.tree_util.tree_map(jnp.copy, state),
+                jax.tree_util.tree_map(jnp.copy, store),
+                seg_w, bmaps_w, valid_w, img, depth_dev,
                 c2w_dev, K_dev, jnp.asarray(99, jnp.int32),
                 match_distance_th=0.05, track_th=100, use_depth_filter=True,
                 unbounded_top_k=True, k_pooling=3, downscale=2)),

@@ -96,7 +96,8 @@ class KeyframeMatch(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("match_distance_th", "track_th", "use_depth_filter",
-                     "unbounded_top_k", "rgb_depth_ratio"))
+                     "unbounded_top_k", "rgb_depth_ratio"),
+    donate_argnums=(0, 1))  # map/instance buffers update in place on TPU
 def associate_keyframe(
     map_state: MapState,
     store: InstanceStore,
@@ -239,7 +240,8 @@ def associate_keyframe(
     jax.jit,
     static_argnames=("match_distance_th", "track_th", "use_depth_filter",
                      "unbounded_top_k", "rgb_depth_ratio", "insert_match_th",
-                     "k_pooling", "downscale"))
+                     "k_pooling", "downscale"),
+    donate_argnums=(0, 1))  # map/instance buffers update in place on TPU
 def associate_and_insert_keyframe(
     map_state: MapState,
     store: InstanceStore,

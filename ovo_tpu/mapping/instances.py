@@ -140,7 +140,8 @@ def is_top_kf(store: InstanceStore, ins_ids: Array, kf_id: Array) -> Array:
 # Descriptor fusion
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("fusion",))
+@functools.partial(jax.jit, static_argnames=("fusion",),
+                   donate_argnums=(0,))
 def update_descriptors(store: InstanceStore, ins_ids: Array, descs: Array,
                        kf_id: Array, valid: Array, *,
                        fusion: str = "avg_pooling") -> InstanceStore:

@@ -52,7 +52,9 @@ def init_map_state(n_points: int) -> MapState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k_pooling", "downscale", "match_th"))
+@functools.partial(jax.jit,
+                   static_argnames=("k_pooling", "downscale", "match_th"),
+                   donate_argnums=(0,))
 def map_insert_frame(state: MapState, image: Array, depth: Array, c2w: Array,
                      K: Array, *, k_pooling: int = 3, downscale: int = 2,
                      match_th: float = 0.03) -> MapState:

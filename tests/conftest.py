@@ -25,3 +25,11 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    # donation is a TPU optimization; the CPU backend ignores it with a
+    # warning per call
+    config.addinivalue_line(
+        "filterwarnings",
+        "ignore:Some donated buffers were not usable:UserWarning")
