@@ -168,7 +168,9 @@ class WrapperGaussianSLAM:
             obj_ids=jnp.where(st.valid[perm], st.obj_ids[perm], -1),
             colors=colors_u8[perm],
             count=st.valid.sum().astype(jnp.int32),
-            next_point_id=st.next_id,
+            # + 0: the view is DONATED into the association program, so it
+            # must not alias the gaussian state's own buffers
+            next_point_id=st.next_id + 0,
         )
 
     def update_pcd_obj_ids(self, state_or_ids) -> None:
