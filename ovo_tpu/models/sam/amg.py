@@ -46,17 +46,18 @@ def _bilinear_matrix(src: int, dst: int) -> np.ndarray:
 
 
 def upsample_bilinear_matmul(x: Array, out_hw: Tuple[int, int]) -> Array:
-    """(M, h, w) -> (M, H, W) bilinear via separable matmuls."""
+    """(M, h, w) -> (M, H, W) bilinear via separable matmuls. Default
+    matmul precision: the result feeds a >threshold binarization of mask
+    LOGITS, so sub-1e-5 relative error cannot flip meaningful pixels, and
+    full-f32 MXU passes cost ~3x."""
     h, w = x.shape[-2:]
     H, W = out_hw
     mh = jnp.asarray(_bilinear_matrix(h, H))
     mw = jnp.asarray(_bilinear_matrix(w, W))
     y = jnp.einsum("mhw,hH->mHw", x, mh,
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   preferred_element_type=jnp.float32)
     return jnp.einsum("mHw,wW->mHW", y, mw,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      preferred_element_type=jnp.float32)
 
 
 def grid_points(points_per_side: int) -> np.ndarray:
