@@ -46,18 +46,21 @@ def _bilinear_matrix(src: int, dst: int) -> np.ndarray:
 
 
 def upsample_bilinear_matmul(x: Array, out_hw: Tuple[int, int]) -> Array:
-    """(M, h, w) -> (M, H, W) bilinear via separable matmuls. Default
-    matmul precision: the result feeds a >threshold binarization of mask
-    LOGITS, so sub-1e-5 relative error cannot flip meaningful pixels, and
-    full-f32 MXU passes cost ~3x."""
+    """(M, h, w) -> (M, H, W) bilinear via separable matmuls.
+    precision=HIGHEST: the TPU default single-pass MXU mode has ~1e-3
+    relative error, and mask-boundary pixels sit exactly where the
+    interpolated logits cross the binarization threshold -- keep full f32
+    for parity with the reference's f32 F.interpolate."""
     h, w = x.shape[-2:]
     H, W = out_hw
     mh = jnp.asarray(_bilinear_matrix(h, H))
     mw = jnp.asarray(_bilinear_matrix(w, W))
     y = jnp.einsum("mhw,hH->mHw", x, mh,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("mHw,wW->mHW", y, mw,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def grid_points(points_per_side: int) -> np.ndarray:

@@ -47,13 +47,17 @@ def table_lookup(idx: Array, table: Array) -> Array:
     tbl_f = tbl.astype(jnp.float32)
     chunks, pad = _chunked(idx.astype(jnp.int32), T)
 
-    # one_hot rows are exact in f32; f32 x f32 matmul keeps integer tables
-    # exact (values < 2^24)
+    # precision=HIGHEST is REQUIRED for exactness: the TPU MXU's default
+    # single-pass mode truncates operands to bf16, which rounds table
+    # VALUES above 256 (e.g. instance ids up to 1024). One-hots are 0/1
+    # (bf16-exact) but the table is not. The tables here are ~100 rows, so
+    # the full-f32 passes cost nothing.
     def body(_, s):
         oh = jax.nn.one_hot(s, T, dtype=jnp.float32)
         val = jax.lax.dot_general(
             oh, tbl_f, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         return None, val
 
     _, vals = jax.lax.scan(body, None, chunks)

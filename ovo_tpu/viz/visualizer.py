@@ -202,6 +202,10 @@ def _stream_pcd(queue, conn, flag, output_dir, show: bool = False,
             vis_window.update_renderer()
         if queries:
             q = queries.pop(0)
+            # drain any stale reply from a previously timed-out query so a
+            # late mapper answer is never attributed to this query
+            while conn.poll(0):
+                conn.recv()
             conn.send(q)
             with flag.get_lock():
                 flag.value = 1
