@@ -97,3 +97,67 @@ def test_shard_vit_params_places_tp(mesh8):
     imgs = jnp.zeros((4, 64, 64, 3))
     tokens = vit_mod.forward_features(sharded, model.cfg.vision, imgs)
     assert tokens.shape == (4, 17, 64)
+
+
+def test_sharded_associate_step_matches_single_chip(mesh8, rng):
+    """The complete point-sharded association (votes + decisions + minting +
+    local relabel) reproduces associate_keyframe's obj_ids write-back and
+    per-mask instance decisions exactly."""
+    from ovo_tpu.mapping.association import associate_keyframe
+    from ovo_tpu.mapping.instances import init_instance_store
+    from ovo_tpu.mapping.map_state import init_map_state
+    from ovo_tpu.parallel.shard import sharded_associate_step
+
+    H, W = 32, 48
+    N = 1024
+    M, Kc = 8, 32
+    K = np.array([[40.0, 0, W / 2 - 0.5], [0, 40.0, H / 2 - 0.5],
+                  [0, 0, 1]], dtype=np.float32)
+    depth = rng.uniform(1.0, 3.0, (H, W)).astype(np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    uu = rng.integers(1, W - 1, N)
+    vv = rng.integers(1, H - 1, N)
+    z = depth[vv, uu]
+    pts = np.stack([(uu - K[0, 2]) * z / K[0, 0],
+                    (vv - K[1, 2]) * z / K[1, 1], z], 1).astype(np.float32)
+    obj = rng.integers(-1, 5, N).astype(np.int32)
+    seg = rng.integers(-1, M, (H, W)).astype(np.int32)
+    mask_valid = np.ones(M, bool)
+    mask_valid[3] = False
+    binary = np.stack([seg == m for m in range(M)])
+    track_th = 20
+
+    # single-chip reference (no depth filter; unbounded top-k)
+    state = init_map_state(N)._replace(
+        points=jnp.asarray(pts), obj_ids=jnp.asarray(obj),
+        count=jnp.asarray(N, jnp.int32))
+    store = init_instance_store(Kc, 4)
+    store = store._replace(next_id=jnp.asarray(5, jnp.int32),
+                           active=store.active.at[:5].set(True))
+    new_state, new_store, match = associate_keyframe(
+        state, store, jnp.asarray(seg), jnp.asarray(binary),
+        jnp.asarray(mask_valid), jnp.asarray(depth), jnp.asarray(c2w),
+        jnp.asarray(K), jnp.asarray(0, jnp.int32),
+        match_distance_th=0.05, track_th=track_th, use_depth_filter=False,
+        unbounded_top_k=True)
+
+    # sharded step over the 8-device mesh
+    sharding = NamedSharding(mesh8, P("dp"))
+    pts_s = jax.device_put(jnp.asarray(pts), sharding)
+    obj_s = jax.device_put(jnp.asarray(obj), sharding)
+    val_s = jax.device_put(jnp.ones(N, bool), sharding)
+    new_obj, ins_of_mask, n_new = sharded_associate_step(
+        mesh8, pts_s, obj_s, val_s, jnp.asarray(seg),
+        jnp.asarray(mask_valid), jnp.asarray(depth), jnp.asarray(c2w),
+        jnp.asarray(K), jnp.asarray(5, jnp.int32),
+        match_distance_th=0.05, track_th=track_th, n_masks=M,
+        n_instances=Kc)
+
+    np.testing.assert_array_equal(np.asarray(new_obj),
+                                  np.asarray(new_state.obj_ids))
+    assert int(n_new) == int(match.n_new)
+    # per-mask decisions: match.ins_ids is keep-filtered, but every kept
+    # slot must agree, and the unfiltered decision of kept first-slots too
+    kept = np.asarray(match.keep)
+    np.testing.assert_array_equal(np.asarray(match.ins_ids)[kept],
+                                  np.asarray(ins_of_mask)[kept])
