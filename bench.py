@@ -38,7 +38,7 @@ N_POINTS = 2 ** 21        # map capacity
 N_INSTANCES = 1024
 M_MASKS = 96
 WARMUP = 2
-ITERS = 8
+ITERS = 16   # ~3s of steady-state at ~5 kf/s; halves run-to-run variance
 
 
 def _wait_for_healthy_worker(max_wait_s: float = 600.0) -> None:
