@@ -194,11 +194,11 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
     up = _conv_transpose2x(params["upscale1"], img)
     if high_res_feats is not None:
         up = up + high_res_feats[1][None]
-    up = jax.nn.gelu(L.layer_norm(params["upscale_ln"], up))
+    up = L.gelu(L.layer_norm(params["upscale_ln"], up))  # exact erf (torch parity)
     up = _conv_transpose2x(params["upscale2"], up)
     if high_res_feats is not None:
         up = up + high_res_feats[0][None]
-    up = jax.nn.gelu(up)                                    # (B, 4H, 4W, up2)
+    up = L.gelu(up)                                         # (B, 4H, 4W, up2)
 
     chans = tuple(range(NUM_MASK_TOKENS)) if mask_channels is None \
         else tuple(mask_channels)
