@@ -15,10 +15,22 @@ Weights are randomly initialized (checkpoints are not shipped in-image);
 shapes, capacities and compute are identical to a weighted run -- every
 stage is fixed-shape, so FLOPs do not depend on weight values.
 
-Baseline: the reference publishes no keyframes/sec (BASELINE.md); its
-single-GPU pipeline is dominated by SAM2-L AMG + PE-L forwards at ~1 s per
-keyframe on an RTX-class GPU, so vs_baseline is reported against an assumed
-1.0 keyframes/sec reference (BASELINE.json north star is >=10x).
+Baseline: the reference publishes NO keyframes/sec (BASELINE.md) -- it only
+logs avg_fps per run. ``vs_baseline`` is therefore reported against a
+DERIVED ESTIMATE, not a measurement (kept in sync with BASELINE.md):
+
+  reference per-keyframe budget on an RTX-3090-class GPU, per its own
+  t_sam/t_obj/t_clip stage structure (logger.py:14-17) at the default
+  config (SAM2-hiera-L AMG @ 1024^2 with 16x16 grid prompts; TextRegion
+  over PE-Core-L14-336 with multi-res crops; Python _track_objects loop
+  with per-mask .item() syncs):
+    t_sam ~= 0.45-0.60 s  (Hiera-L encoder + 256-prompt decode + O(N^2)
+                           Python mask NMS)
+    t_clip ~= 0.20-0.30 s (PE-L forward on 1+crop batch + masked pools)
+    t_obj + t_up ~= 0.15-0.25 s (per-mask host syncs dominate)
+  => ~0.8-1.15 s/keyframe, i.e. ~1 keyframe/s. REFERENCE_EST_KF_PER_SEC
+  pins 1.0. The ratio is an estimate; the absolute kf/s number is the
+  measurement.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -31,7 +43,13 @@ os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
 
 import numpy as np
 
-ASSUMED_REFERENCE_KEYFRAMES_PER_SEC = 1.0
+# Derived estimate, NOT a measurement -- see module docstring + BASELINE.md
+REFERENCE_EST_KF_PER_SEC = 1.0
+
+if "OVO_BENCH_PIPELINED" in os.environ:
+    sys.stderr.write(
+        "[bench] OVO_BENCH_PIPELINED is no longer read: pipelined is the "
+        "default; set OVO_BENCH_SYNC=1 for per-frame-synced semantics\n")
 
 H, W = 680, 1200          # Replica frame geometry
 N_POINTS = 2 ** 21        # map capacity
@@ -298,7 +316,7 @@ def main():
         "metric": "keyframes_per_sec_semantic_hot_path",
         "value": round(fps, 3),
         "unit": "keyframes/s",
-        "vs_baseline": round(fps / ASSUMED_REFERENCE_KEYFRAMES_PER_SEC, 2),
+        "vs_baseline": round(fps / REFERENCE_EST_KF_PER_SEC, 2),
     }))
 
 

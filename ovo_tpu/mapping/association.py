@@ -53,10 +53,13 @@ def _mask_slot_lookup(seg: Array, slot_values: Array, M: int) -> Array:
     return segment_mxu.table_lookup(idx, tbl).astype(jnp.int32)
 
 
-def _vote_matmul(seg_row: Array, vote_col: Array, M: int, Kcap: int) -> Array:
+def _vote_matmul(seg_row: Array, vote_col: Array, M: int, Kcap: int,
+                 vary_axis: str | None = None) -> Array:
     """(N,) mask-slot ids x (N,) instance ids -> (M+1, Kcap+1) count matrix
     via chunked one-hot matmuls (exact: bf16 one-hots, f32 accumulation;
-    counts < 2^24)."""
+    counts < 2^24). ``vary_axis``: when called inside shard_map, the mesh
+    axis the inputs vary over (the scan carry init must carry the same
+    varying-axis type as the body output)."""
     N = seg_row.shape[0]
     CH = min(N, 2 ** 18)
     pad = (-N) % CH
@@ -73,13 +76,49 @@ def _vote_matmul(seg_row: Array, vote_col: Array, M: int, Kcap: int) -> Array:
             a, b, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32), None
 
+    init = jnp.zeros((M + 1, Kcap + 1), jnp.float32)
+    if vary_axis is not None:
+        init = jax.lax.pcast(init, (vary_axis,), to="varying")
     out, _ = jax.lax.scan(
-        body, jnp.zeros((M + 1, Kcap + 1), jnp.float32),
+        body, init,
         (seg_row.reshape(-1, CH), vote_col.reshape(-1, CH)))
     # padded rows landed in row M / col Kcap, which callers discard -- but
     # subtract the padding from that cell anyway to keep the matrix exact
     out = out.at[M, Kcap].add(-float(pad))
     return out.astype(jnp.int32)
+
+
+def mask_decisions(votes_full: Array, mask_valid: Array, next_id: Array,
+                   track_th: int, M: int, Kcap: int
+                   ) -> Tuple[Array, Array, Array, Array]:
+    """The per-mask decision math shared by the single-chip and the
+    point-sharded association paths (ovo.py:255-280 semantics): majority
+    vote over assigned points, track/new gating at ``track_th``, new-id
+    minting by prefix sum over ``next_id``, instance-capacity clipping.
+
+    votes_full: (M+1, Kcap+1) count matrix -- row M collects dropped
+    points, column Kcap collects unassigned points.
+
+    Returns (ins_of_mask (M,), n_new (), n_dropped (), unassigned_cnt (M,)).
+    """
+    total = votes_full[:M].sum(axis=1).astype(jnp.int32)
+    votes = votes_full[:M, :Kcap].astype(jnp.int32)
+    assigned_cnt = votes.sum(axis=1)
+    unassigned_cnt = total - assigned_cnt
+    mode_id = jnp.argmax(votes, axis=1).astype(jnp.int32)  # ties -> lowest id
+
+    observed = mask_valid & (total > track_th)
+    case_track = observed & (assigned_cnt > track_th)
+    case_new = observed & ~case_track & (unassigned_cnt > track_th)
+    new_rank = jnp.cumsum(case_new.astype(jnp.int32)) - 1
+    new_id = next_id + new_rank
+    cap_ok = new_id < Kcap
+    dropped = jnp.sum((case_new & ~cap_ok).astype(jnp.int32))
+    case_new = case_new & cap_ok
+    ins_of_mask = jnp.where(case_track, mode_id,
+                            jnp.where(case_new, new_id, -1)).astype(jnp.int32)
+    n_new = jnp.sum(case_new.astype(jnp.int32))
+    return ins_of_mask, n_new, dropped, unassigned_cnt
 
 
 class KeyframeMatch(NamedTuple):
@@ -115,6 +154,15 @@ def associate_keyframe(
     unbounded_top_k: bool = True,
     rgb_depth_ratio: Tuple[float, float, int] | None = None,
 ) -> Tuple[MapState, InstanceStore, KeyframeMatch]:
+    """One-program per-keyframe association (see module docstring).
+
+    DONATION CONTRACT: ``map_state`` and ``store`` are donated -- on TPU
+    their buffers are reused for the outputs and the INPUT pytrees are
+    invalid after the call. Callers must treat them as consumed and use the
+    returned state; pass ``jax.tree_util.tree_map(jnp.copy, x)`` to keep an
+    input alive. CPU runs ignore donation, so only real-TPU use catches
+    violations.
+    """
     M = binary_maps.shape[0]
     Kcap = store.capacity
     points = map_state.points
@@ -162,24 +210,9 @@ def associate_keyframe(
     assigned = obj >= 0
     vote_col = jnp.where(assigned & (seg >= 0), jnp.clip(obj, 0, Kcap - 1), Kcap)
     votes_full = _vote_matmul(seg_row, vote_col, M, Kcap)  # (M+1, K+1) i32
-    total = votes_full[:M].sum(axis=1).astype(jnp.int32)
-    votes = votes_full[:M, :Kcap].astype(jnp.int32)
-    assigned_cnt = votes.sum(axis=1)
-    unassigned_cnt = total - assigned_cnt
-    mode_id = jnp.argmax(votes, axis=1).astype(jnp.int32)  # ties -> lowest id
-
     # ---- decide each mask's instance (ovo.py:255-280) ----
-    observed = mask_valid & (total > track_th)
-    case_track = observed & (assigned_cnt > track_th)
-    case_new = observed & ~case_track & (unassigned_cnt > track_th)
-    new_rank = jnp.cumsum(case_new.astype(jnp.int32)) - 1
-    new_id = store.next_id + new_rank
-    cap_ok = new_id < Kcap
-    dropped = jnp.sum((case_new & ~cap_ok).astype(jnp.int32))
-    case_new = case_new & cap_ok
-    ins_of_mask = jnp.where(case_track, mode_id,
-                            jnp.where(case_new, new_id, -1)).astype(jnp.int32)
-    n_new = jnp.sum(case_new.astype(jnp.int32))
+    ins_of_mask, n_new, dropped, unassigned_cnt = mask_decisions(
+        votes_full, mask_valid, store.next_id, track_th, M, Kcap)
 
     # ---- write instance ids back to unassigned matched points ----
     point_ins = _mask_slot_lookup(seg, ins_of_mask, M)   # MXU, not gather
@@ -269,6 +302,9 @@ def associate_and_insert_keyframe(
     pixel gathers are computed once and shared (they dominate the
     association cost on TPU), and the dispatch/sync overhead is paid once.
 
+    DONATION CONTRACT: ``map_state`` and ``store`` are donated (consumed);
+    see associate_keyframe.
+
     ORDERING NOTE: this program associates against the map BEFORE inserting
     this frame's points. The reference pipeline (ovomapping.py:149-164) maps
     first, then segments -- so a keyframe's own freshly unprojected points
@@ -326,23 +362,8 @@ def associate_and_insert_keyframe(
     vote_col = jnp.where(assigned & (seg >= 0), jnp.clip(obj, 0, Kcap - 1),
                          Kcap)
     votes_full = _vote_matmul(seg_row, vote_col, M, Kcap)
-    total = votes_full[:M].sum(axis=1).astype(jnp.int32)
-    votes = votes_full[:M, :Kcap].astype(jnp.int32)
-    assigned_cnt = votes.sum(axis=1)
-    unassigned_cnt = total - assigned_cnt
-    mode_id = jnp.argmax(votes, axis=1).astype(jnp.int32)
-
-    observed = mask_valid & (total > track_th)
-    case_track = observed & (assigned_cnt > track_th)
-    case_new = observed & ~case_track & (unassigned_cnt > track_th)
-    new_rank = jnp.cumsum(case_new.astype(jnp.int32)) - 1
-    new_id = store.next_id + new_rank
-    cap_ok = new_id < Kcap
-    dropped = jnp.sum((case_new & ~cap_ok).astype(jnp.int32))
-    case_new = case_new & cap_ok
-    ins_of_mask = jnp.where(case_track, mode_id,
-                            jnp.where(case_new, new_id, -1)).astype(jnp.int32)
-    n_new = jnp.sum(case_new.astype(jnp.int32))
+    ins_of_mask, n_new, dropped, unassigned_cnt = mask_decisions(
+        votes_full, mask_valid, store.next_id, track_th, M, Kcap)
 
     point_ins = _mask_slot_lookup(seg, ins_of_mask, M)   # MXU, not gather
     update = (~assigned) & (point_ins >= 0)

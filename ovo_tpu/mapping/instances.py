@@ -147,6 +147,11 @@ def update_descriptors(store: InstanceStore, ins_ids: Array, descs: Array,
                        fusion: str = "avg_pooling") -> InstanceStore:
     """Fold one keyframe's per-instance CLIP descriptors into the store.
 
+    DONATION CONTRACT: ``store`` is donated -- on TPU its buffers back the
+    returned store and the input is invalid after the call; pass
+    ``jax.tree_util.tree_map(jnp.copy, store)`` to keep it. CPU ignores
+    donation, so only real-TPU use catches violations.
+
     avg_pooling: running mean (exact for the reference's default config where
     k_top_views exceeds the run length, so every computed view participates).
     l1_medoid / cossim_medoid: descriptors also land in the kf's slot; the

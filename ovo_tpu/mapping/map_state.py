@@ -60,6 +60,11 @@ def map_insert_frame(state: MapState, image: Array, depth: Array, c2w: Array,
                      match_th: float = 0.03) -> MapState:
     """One vanilla mapping step (vanilla_mapper.py:46-85), fully on device.
 
+    DONATION CONTRACT: ``state`` is donated -- on TPU its buffers back the
+    returned state and the input is invalid after the call; pass
+    ``jax.tree_util.tree_map(jnp.copy, state)`` to keep it. CPU ignores
+    donation, so only real-TPU use catches violations.
+
     Args:
       image: (H, W, 3) uint8 RGB at depth resolution.
       depth: (H, W) f32 metric depth (0 = invalid).

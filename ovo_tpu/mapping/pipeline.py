@@ -152,6 +152,7 @@ class OVOSemMap:
         import multiprocessing as mp
 
         ctx = mp.get_context("spawn")
+        self._stream_has_queries = bool(queries)
         self.pcd_queue = ctx.Queue()
         self.query_flag = ctx.Value("i", 0)
         parent_conn, child_conn = ctx.Pipe()
@@ -223,9 +224,12 @@ class OVOSemMap:
             # keep answering the query protocol while waiting: a slow viewer
             # (loaded machine) may issue its scripted queries only after the
             # run ended, and an unanswered flag=1 stalls it for its full
-            # per-query timeout before it can write the final exports
+            # per-query timeout before it can write the final exports.
+            # Without scripted queries there is nothing to wait for beyond
+            # the final exports, so a wedged viewer only delays exit 30 s.
+            cap = 300 if getattr(self, "_stream_has_queries", False) else 30
             t0 = time.time()
-            while self.viewer_proc.is_alive() and time.time() - t0 < 300:
+            while self.viewer_proc.is_alive() and time.time() - t0 < cap:
                 self._serve_stream_query(timeout=0.05)
                 self.viewer_proc.join(timeout=0.5)
             if self.viewer_proc.is_alive():

@@ -70,27 +70,42 @@ def table_lookup(idx: Array, table: Array) -> Array:
 
 def histogram(idx: Array, n_bins: int, weights: Array | None = None) -> Array:
     """out[t] = sum of weights (default 1) where idx == t, for t in
-    [0, n_bins). Out-of-range indices are dropped. Exact for integer counts
-    < 2^24 (bf16 one-hots, f32 accumulation)."""
+    [0, n_bins). Out-of-range indices are dropped. Unweighted counts are
+    exact below 2^24 (bf16 one-hots, f32 accumulation); weighted sums keep
+    the weights in f32 via precision=HIGHEST passes (same cost profile as
+    table_lookup -- the one-hot side stays a cheap single bf16 pass)."""
     chunks, _ = _chunked(idx.astype(jnp.int32), n_bins)
     if weights is None:
-        w_chunks = jnp.ones(chunks.shape, jnp.bfloat16)
-    else:
-        w = weights.astype(jnp.float32)
-        pad = chunks.size - w.shape[0]
-        if pad:
-            w = jnp.concatenate([w, jnp.zeros((pad,), jnp.float32)])
-        w_chunks = w.reshape(chunks.shape).astype(jnp.bfloat16)
+        def body(acc, s):
+            oh = jax.nn.one_hot(s, n_bins, dtype=jnp.bfloat16)
+            w = jnp.ones(s.shape, jnp.bfloat16)
+            return acc + jax.lax.dot_general(
+                w[None, :], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[0], None
 
-    def body(acc, x):
-        s, w = x
-        oh = jax.nn.one_hot(s, n_bins, dtype=jnp.bfloat16)
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((n_bins,), jnp.float32), chunks)
+        return out
+
+    w = weights.astype(jnp.float32)
+    pad = chunks.size - w.shape[0]
+    if pad:
+        w = jnp.concatenate([w, jnp.zeros((pad,), jnp.float32)])
+    w_chunks = w.reshape(chunks.shape)
+
+    def body_w(acc, x):
+        s, wc = x
+        # f32 weights x f32 one-hot at HIGHEST: a default single-pass bf16
+        # matmul would round weights needing > 8 mantissa bits (e.g.
+        # integer weights > 256)
+        oh = jax.nn.one_hot(s, n_bins, dtype=jnp.float32)
         return acc + jax.lax.dot_general(
-            w[None, :], oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)[0], None
+            wc[None, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)[0], None
 
     out, _ = jax.lax.scan(
-        body, jnp.zeros((n_bins,), jnp.float32), (chunks, w_chunks))
+        body_w, jnp.zeros((n_bins,), jnp.float32), (chunks, w_chunks))
     return out
 
 

@@ -18,8 +18,40 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import geometry as geo
+from ..mapping.association import _vote_matmul, mask_decisions
 
 Array = jax.Array
+
+
+def _local_votes(points, obj_ids, valid, seg_map, mask_valid, depth, c2w,
+                 Kmat, *, axis, match_distance_th, M, Kcap):
+    """Shard-local cull/project/match + partial vote matrix, psum'd to the
+    exact global (M+1, Kcap+1) counts. Uses the same chunked one-hot MXU
+    matmuls as the single-chip path (ops/segment_mxu rationale) -- they are
+    shard-local ops, so they vectorize under shard_map unchanged.
+
+    Returns (votes_full replicated, seg (N_shard,) local)."""
+    corners = geo.compute_camera_frustum_corners(depth, c2w, Kmat)
+    in_frustum = geo.points_in_frustum(points, corners, valid=valid)
+    matched, uv = geo.match_points_to_depth(
+        depth, jnp.linalg.inv(c2w), points, Kmat, match_distance_th,
+        valid=in_frustum)
+    Hr, Wr = seg_map.shape
+    u = jnp.clip(uv[:, 0], 0, Wr - 1)
+    v = jnp.clip(uv[:, 1], 0, Hr - 1)
+    seg = jnp.where(matched, seg_map[v, u], -1)
+    if mask_valid is not None:
+        seg = jnp.where((seg >= 0) & (seg < M)
+                        & mask_valid[jnp.clip(seg, 0, M - 1)], seg, -1)
+    else:
+        seg = jnp.where((seg >= 0) & (seg < M), seg, -1)
+    seg_row = jnp.where(seg >= 0, seg, M)
+    assigned = obj_ids >= 0
+    vote_col = jnp.where(assigned & (seg >= 0),
+                         jnp.clip(obj_ids, 0, Kcap - 1), Kcap)
+    votes_full = _vote_matmul(seg_row, vote_col, M, Kcap, vary_axis=axis)
+    votes_full = jax.lax.psum(votes_full, axis)  # ONE collective over ICI
+    return votes_full, seg
 
 
 @functools.partial(
@@ -43,30 +75,12 @@ def sharded_vote_step(mesh: Mesh, points: Array, obj_ids: Array, valid: Array,
     M, Kcap = n_masks, n_instances
 
     def local(points, obj_ids, valid, seg_map, depth, c2w, Kmat):
-        corners = geo.compute_camera_frustum_corners(depth, c2w, Kmat)
-        in_frustum = geo.points_in_frustum(points, corners, valid=valid)
-        matched, uv = geo.match_points_to_depth(
-            depth, jnp.linalg.inv(c2w), points, Kmat, match_distance_th,
-            valid=in_frustum)
-        Hr, Wr = seg_map.shape
-        u = jnp.clip(uv[:, 0], 0, Wr - 1)
-        v = jnp.clip(uv[:, 1], 0, Hr - 1)
-        seg = jnp.where(matched, seg_map[v, u], -1)
-        seg = jnp.where((seg >= 0) & (seg < M), seg, -1)
-        seg_row = jnp.where(seg >= 0, seg, M)
-        ones = jnp.ones_like(seg_row)
-        total = jnp.zeros((M,), jnp.int32).at[seg_row].add(ones, mode="drop")
-        assigned = obj_ids >= 0
-        assigned_cnt = jnp.zeros((M,), jnp.int32).at[seg_row].add(
-            (assigned & (seg >= 0)).astype(jnp.int32), mode="drop")
-        col = jnp.where(assigned & (seg >= 0),
-                        jnp.clip(obj_ids, 0, Kcap - 1), Kcap)
-        votes = jnp.zeros((M, Kcap), jnp.int32).at[seg_row, col].add(
-            1, mode="drop")
-        # exact global counts via one psum over ICI
-        total = jax.lax.psum(total, axis)
-        assigned_cnt = jax.lax.psum(assigned_cnt, axis)
-        votes = jax.lax.psum(votes, axis)
+        votes_full, seg = _local_votes(
+            points, obj_ids, valid, seg_map, None, depth, c2w, Kmat,
+            axis=axis, match_distance_th=match_distance_th, M=M, Kcap=Kcap)
+        total = votes_full[:M].sum(axis=1).astype(jnp.int32)
+        votes = votes_full[:M, :Kcap].astype(jnp.int32)
+        assigned_cnt = votes.sum(axis=1)
         return total, assigned_cnt, votes, seg
 
     spec_pt = P(axis)
@@ -107,50 +121,17 @@ def sharded_associate_step(mesh: Mesh, points: Array, obj_ids: Array,
 
     def local(points, obj_ids, valid, seg_map, mask_valid, depth, c2w,
               Kmat, next_id):
-        corners = geo.compute_camera_frustum_corners(depth, c2w, Kmat)
-        in_frustum = geo.points_in_frustum(points, corners, valid=valid)
-        matched, uv = geo.match_points_to_depth(
-            depth, jnp.linalg.inv(c2w), points, Kmat, match_distance_th,
-            valid=in_frustum)
-        Hr, Wr = seg_map.shape
-        u = jnp.clip(uv[:, 0], 0, Wr - 1)
-        v = jnp.clip(uv[:, 1], 0, Hr - 1)
-        seg = jnp.where(matched, seg_map[v, u], -1)
-        seg = jnp.where((seg >= 0) & (seg < M)
-                        & mask_valid[jnp.clip(seg, 0, M - 1)], seg, -1)
-        seg_row = jnp.where(seg >= 0, seg, M)
-        assigned = obj_ids >= 0
-        total = jnp.zeros((M,), jnp.int32).at[seg_row].add(1, mode="drop")
-        assigned_cnt = jnp.zeros((M,), jnp.int32).at[seg_row].add(
-            (assigned & (seg >= 0)).astype(jnp.int32), mode="drop")
-        col = jnp.where(assigned & (seg >= 0),
-                        jnp.clip(obj_ids, 0, Kcap - 1), Kcap)
-        votes = jnp.zeros((M, Kcap), jnp.int32).at[seg_row, col].add(
-            1, mode="drop")
-        total = jax.lax.psum(total, axis)
-        assigned_cnt = jax.lax.psum(assigned_cnt, axis)
-        votes = jax.lax.psum(votes, axis)
-
-        # identical (replicated) decisions on every shard -- the same math
-        # as association.associate_keyframe (ovo.py:255-280 semantics)
-        unassigned_cnt = total - assigned_cnt
-        mode_id = jnp.argmax(votes, axis=1).astype(jnp.int32)
-        observed = mask_valid & (total > track_th)
-        case_track = observed & (assigned_cnt > track_th)
-        case_new = observed & ~case_track & (unassigned_cnt > track_th)
-        new_rank = jnp.cumsum(case_new.astype(jnp.int32)) - 1
-        new_id = next_id + new_rank
-        case_new = case_new & (new_id < Kcap)
-        ins_of_mask = jnp.where(
-            case_track, mode_id,
-            jnp.where(case_new, new_id, -1)).astype(jnp.int32)
-        n_new = jnp.sum(case_new.astype(jnp.int32))
+        votes_full, seg = _local_votes(
+            points, obj_ids, valid, seg_map, mask_valid, depth, c2w, Kmat,
+            axis=axis, match_distance_th=match_distance_th, M=M, Kcap=Kcap)
+        # identical (replicated) decisions on every shard: the SAME helper
+        # the single-chip associate_keyframe uses -- the decision math
+        # cannot drift between the two paths
+        ins_of_mask, n_new, _, _ = mask_decisions(
+            votes_full, mask_valid, next_id, track_th, M, Kcap)
 
         # local relabel of this shard's points
-        point_ins = jnp.where(
-            seg >= 0, ins_of_mask[jnp.clip(seg, 0, M - 1)], -1)
-        new_obj = jnp.where((~assigned) & (point_ins >= 0), point_ins,
-                            obj_ids)
+        new_obj = apply_mask_decisions(obj_ids, seg, ins_of_mask)
         return new_obj, ins_of_mask, n_new
 
     spec_pt = P(axis)
