@@ -190,6 +190,61 @@ def update_descriptors(store: InstanceStore, ins_ids: Array, descs: Array,
     return store._replace(clip_feature=clip_feature, has_clip=has_clip)
 
 
+@functools.partial(jax.jit, static_argnames=("fusion",),
+                   donate_argnums=(0,))
+def drop_keyframe_descriptors(store: InstanceStore, ins_ids: Array,
+                              descs: Array, valid: Array, culled_kfs: Array,
+                              *, fusion: str = "avg_pooling"
+                              ) -> InstanceStore:
+    """Remove culled keyframes' contributions from the store and re-fuse.
+
+    Mirrors the reference's deleted-keyframe hygiene in OVO.update_map
+    (/root/reference/ovo/entities/ovo.py:372-379 + update_objects_clip at
+    :423): per-(kf, instance) descriptors of deleted keyframes are dropped
+    and every instance's fused feature is recomputed from the survivors.
+
+    DONATION CONTRACT: ``store`` is donated (consumed); see
+    update_descriptors.
+
+    Args:
+      ins_ids / descs / valid: the concatenated per-(kf, instance)
+        descriptor batch of ALL culled keyframes ((B,), (B, D), (B,));
+        invalid rows are ignored.
+      culled_kfs: (C,) i32 culled keyframe ids, padded with -2 (never
+        matches a slot: -1 means empty).
+    """
+    scatter, _, v = _rows(store, ins_ids, valid)
+    desc_sum = store.desc_sum.at[scatter].add(
+        jnp.where(v[:, None], -descs, 0.0), mode="drop")
+    desc_cnt = jnp.maximum(
+        store.desc_cnt.at[scatter].add(jnp.where(v, -1, 0), mode="drop"), 0)
+
+    # evict culled keyframes from every instance's top-kf slots (a culled
+    # kf may hold a slot even without a computed descriptor)
+    hit = jnp.any(store.top_kf[:, :, None] == culled_kfs[None, None, :],
+                  axis=-1)
+    top_area = jnp.where(hit, -1, store.top_area)
+    top_kf = jnp.where(hit, -1, store.top_kf)
+    slot_valid = store.slot_valid & ~hit[:, :store.slot_valid.shape[1]]
+    store = store._replace(desc_sum=desc_sum, desc_cnt=desc_cnt,
+                           top_area=top_area, top_kf=top_kf,
+                           slot_valid=slot_valid)
+
+    if fusion == "avg_pooling":
+        cnt = jnp.maximum(store.desc_cnt, 1)[:, None]
+        fused = store.desc_sum / cnt
+        has = store.desc_cnt > 0
+        return store._replace(
+            clip_feature=jnp.where(has[:, None], fused, 0.0),
+            has_clip=store.has_clip & has)
+
+    fused, ok = jax.vmap(lambda sd, sv: _medoid(sd, sv, fusion))(
+        store.slot_desc, store.slot_valid)
+    return store._replace(
+        clip_feature=jnp.where(ok[:, None], fused, 0.0),
+        has_clip=store.has_clip & ok)
+
+
 def _medoid(descs: Array, valid: Array, fusion: str) -> Tuple[Array, Array]:
     """Medoid over valid rows of (T, D): l1_medoid minimizes summed L1
     distance; cossim_medoid maximizes summed cosine similarity

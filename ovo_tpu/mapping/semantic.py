@@ -82,6 +82,11 @@ class SemanticMapper:
         self.kf_id = 0
         self.frame_ids: List[int] = []    # kf_id -> dataset frame id
         self._time_cache: List[float] = []
+        # per-(kf, instance) descriptor record for deleted-keyframe hygiene
+        # (the reference's keyframes["ins_descriptors"], ovo.py:50-60):
+        # kf_id -> (ins_ids (M,), descs (M, D) f32, keep (M,)), device-
+        # resident (no fetch in the hot path; ~0.4 MB per keyframe)
+        self.kf_descriptors: Dict[int, tuple] = {}
 
         # SAM micro-batching (perf knob, default off = exact reference
         # cadence): masks are map-independent, so B segment-keyframes can
@@ -235,10 +240,12 @@ class SemanticMapper:
         for kf, keep, ok, descs in zip(kfs, keeps, any_keep, descs_list):
             if not ok:
                 continue
+            descs32 = descs.astype(jnp.float32)
             self.store = inst.update_descriptors(
-                self.store, kf["ins_ids"], descs.astype(jnp.float32),
+                self.store, kf["ins_ids"], descs32,
                 jnp.asarray(kf["kf_id"], jnp.int32), keep,
                 fusion=self.fusion)
+            self.kf_descriptors[kf["kf_id"]] = (kf["ins_ids"], descs32, keep)
         if self.log and self.logger is not None:
             self.store.clip_feature.block_until_ready()
             t_up = time.time() - t0
@@ -253,14 +260,79 @@ class SemanticMapper:
     # ------------------------------------------------------------------
 
     def update_map(self, map_state: MapState, kfs=None) -> MapState:
+        """Semantic loop-closure update (ovo.py:366-424): drain the CLIP
+        queue, drop descriptors of keyframes the SLAM backbone culled
+        (``kfs`` = surviving dataset frame ids, ovo.py:372-379), then fuse
+        overlapping instances and refresh descriptors."""
         flushed = self.flush_segmentation(map_state)
         if flushed is not None:
             map_state = flushed
         self.complete_semantic_info()
-        map_state, self.store, _ = semantic_loop_closure(
+        if kfs is not None:
+            surviving = set(kfs)
+            culled = [k for k in range(self.kf_id)
+                      if self.frame_ids[k] not in surviving]
+            self.drop_keyframes(culled)
+        map_state, self.store, fused = semantic_loop_closure(
             map_state, self.store, self.th_centroid, self.th_cossim,
             self.th_points)
+        if fused:
+            self._remap_kf_descriptors(fused)
         return map_state
+
+    def drop_keyframes(self, culled_kf_ids: Sequence[int]) -> None:
+        """Remove culled keyframes' descriptor contributions and top-kf
+        slots, re-fusing every touched instance (ovo.py:372-379,423)."""
+        if not culled_kf_ids:
+            return
+        recs = [self.kf_descriptors.pop(k) for k in culled_kf_ids
+                if k in self.kf_descriptors]
+        if recs:
+            ids = jnp.concatenate([r[0] for r in recs])
+            descs = jnp.concatenate([r[1] for r in recs])
+            keep = jnp.concatenate([r[2] for r in recs])
+        else:
+            ids = jnp.zeros((1,), jnp.int32)
+            descs = jnp.zeros((1, self.clip_dim), jnp.float32)
+            keep = jnp.zeros((1,), jnp.bool_)
+        # pad the batch and the culled list to power-of-2 buckets so the
+        # rare LC-time program compiles only a handful of specializations
+        def bucket(n):
+            b = 1
+            while b < n:
+                b *= 2
+            return b
+
+        B = bucket(ids.shape[0])
+        if B != ids.shape[0]:
+            padn = B - ids.shape[0]
+            ids = jnp.concatenate([ids, jnp.full((padn,), -1, ids.dtype)])
+            descs = jnp.concatenate(
+                [descs, jnp.zeros((padn, descs.shape[1]), descs.dtype)])
+            keep = jnp.concatenate([keep, jnp.zeros((padn,), jnp.bool_)])
+        culled = np.asarray(culled_kf_ids, np.int32)
+        C = bucket(len(culled))
+        culled = np.concatenate([culled, np.full(C - len(culled), -2,
+                                                 np.int32)])
+        self.store = inst.drop_keyframe_descriptors(
+            self.store, ids, descs, keep, jnp.asarray(culled),
+            fusion=self.fusion)
+
+    def _remap_kf_descriptors(self, fused: Dict[int, int]) -> None:
+        """Point per-kf descriptor records of merged instances at their
+        survivor so later keyframe culls subtract from the right row
+        (ovo.py:412-419)."""
+        remap = np.arange(self.store.capacity, dtype=np.int32)
+        for j, i in fused.items():
+            remap[j] = i
+        for _ in range(4):  # chase merge chains
+            remap = remap[remap]
+        remap_j = jnp.asarray(remap)
+        for k, (ids, descs, keep) in list(self.kf_descriptors.items()):
+            new_ids = jnp.where(
+                ids >= 0, remap_j[jnp.clip(ids, 0, self.store.capacity - 1)],
+                ids)
+            self.kf_descriptors[k] = (new_ids, descs, keep)
 
     # ------------------------------------------------------------------
     # Query / classification (ovo.py:473-527)

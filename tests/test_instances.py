@@ -141,3 +141,72 @@ def test_eviction_invalidates_slot_descriptor(rng):
     assert kfs == {1, 2}
     slot_of_kf2 = int(np.argmax(np.asarray(store.top_kf[0]) == 2))
     assert not bool(store.slot_valid[0, slot_of_kf2])
+
+
+def _upd(store, ids, descs, kf, valid, fusion="avg_pooling"):
+    return inst.update_descriptors(
+        store, jnp.asarray(ids, jnp.int32), jnp.asarray(descs, jnp.float32),
+        jnp.asarray(kf, jnp.int32), jnp.asarray(valid), fusion=fusion)
+
+
+def test_drop_keyframe_descriptors_avg_oracle(rng):
+    """Deleting a kf's descriptors re-fuses to the mean of the survivors
+    exactly (ovo.py:372-379 + update_objects_clip)."""
+    D = 8
+    store = init_instance_store(4, clip_dim=D, n_slots=4)
+    store = inst.mint_instances(store, jnp.asarray(2, jnp.int32))
+    d0 = rng.normal(size=(2, D)).astype(np.float32)   # kf 0: ins 0, 1
+    d1 = rng.normal(size=(2, D)).astype(np.float32)   # kf 1: ins 0 only
+    store = inst.add_top_kf(store, jnp.asarray([0, 1], jnp.int32),
+                            jnp.asarray(0, jnp.int32),
+                            jnp.asarray([10, 10], jnp.int32),
+                            jnp.asarray([True, True]))
+    store = _upd(store, [0, 1], d0, 0, [True, True])
+    store = inst.add_top_kf(store, jnp.asarray([0, -1], jnp.int32),
+                            jnp.asarray(1, jnp.int32),
+                            jnp.asarray([20, -1], jnp.int32),
+                            jnp.asarray([True, False]))
+    store = _upd(store, [0, -1], d1, 1, [True, False])
+    np.testing.assert_allclose(np.asarray(store.clip_feature[0]),
+                               (d0[0] + d1[0]) / 2, rtol=1e-6)
+
+    # drop kf 0: ins0 keeps exactly kf1's desc; ins1 loses its only view
+    store = inst.drop_keyframe_descriptors(
+        store, jnp.asarray([0, 1], jnp.int32), jnp.asarray(d0),
+        jnp.asarray([True, True]), jnp.asarray([0, -2], jnp.int32))
+    np.testing.assert_allclose(np.asarray(store.clip_feature[0]), d1[0],
+                               rtol=1e-6)
+    assert bool(store.has_clip[0])
+    assert not bool(store.has_clip[1])
+    assert int(store.desc_cnt[1]) == 0
+    # kf 0 evicted from every top slot; kf 1 survives
+    assert not np.any(np.asarray(store.top_kf) == 0)
+    assert np.any(np.asarray(store.top_kf[0]) == 1)
+
+
+def test_drop_keyframe_descriptors_medoid(rng):
+    """Medoid fusion recomputes over surviving slots after a kf drop."""
+    D = 8
+    store = init_instance_store(2, clip_dim=D, n_slots=3,
+                                store_slot_descs=True)
+    store = inst.mint_instances(store, jnp.asarray(1, jnp.int32))
+    descs = rng.normal(size=(3, D)).astype(np.float32)
+    for kf in range(3):
+        store = inst.add_top_kf(store, jnp.asarray([0], jnp.int32),
+                                jnp.asarray(kf, jnp.int32),
+                                jnp.asarray([10 + kf], jnp.int32),
+                                jnp.asarray([True]))
+        store = _upd(store, [0], descs[kf:kf + 1], kf, [True],
+                     fusion="l1_medoid")
+    # oracle: l1 medoid over the two SURVIVING views after dropping kf 1
+    keep = [0, 2]
+    d = descs[keep]
+    cost = np.abs(d[:, None, :] - d[None, :, :]).sum(-1).sum(1)
+    expect = d[int(np.argmin(cost))]
+    store = inst.drop_keyframe_descriptors(
+        store, jnp.asarray([0], jnp.int32), descs[1:2],
+        jnp.asarray([True]), jnp.asarray([1, -2], jnp.int32),
+        fusion="l1_medoid")
+    np.testing.assert_allclose(np.asarray(store.clip_feature[0]), expect,
+                               rtol=1e-6)
+    assert not np.any(np.asarray(store.top_kf) == 1)

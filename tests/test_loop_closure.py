@@ -90,3 +90,45 @@ def test_apply_fusion_chains(rng):
     assert set(obj.tolist()) == {0}
     assert np.asarray(store2.active).tolist()[:3] == [True, False, False]
     assert int(store2.desc_cnt[0]) == 3
+
+
+def test_update_map_drops_culled_keyframe_descriptors(rng):
+    """SemanticMapper.update_map(map_state, kfs): descriptors of keyframes
+    the SLAM backbone culled are subtracted and instances re-fused, exactly
+    as the oracle mean over surviving views (ovo.py:372-379)."""
+    from ovo_tpu.mapping.semantic import SemanticMapper
+
+    D = 8
+    cfg = {"clip": {"k_top_views": 10000, "fusion": "avg_pooling",
+                    "clip_dim": D},
+           "capacity": {"n_instances": 16}}
+    sm = SemanticMapper(cfg, eval=True)
+    # two instances far apart (no fusion), each seen in kfs 0 and 1
+    d_a0, d_a1 = (unit(rng.standard_normal(D)) for _ in range(2))
+    d_b = unit(rng.standard_normal(D))
+    ms, store = build_scene(rng, [([0, 0, 0], 40, d_a0),
+                                  ([5, 5, 5], 40, d_b)], D=D, K=16)
+    sm.store = store
+    # second view of instance 0 lands in kf 1
+    sm.store = update_descriptors(
+        sm.store, jnp.asarray([0], jnp.int32),
+        jnp.asarray(d_a1, jnp.float32)[None], jnp.asarray(1, jnp.int32),
+        jnp.asarray([True]))
+    sm.kf_id = 2
+    sm.frame_ids = [10, 20]   # dataset frame ids of the two keyframes
+    ids0 = jnp.asarray([0, 1], jnp.int32)
+    sm.kf_descriptors[0] = (ids0, jnp.asarray(
+        np.stack([d_a0, d_b]), jnp.float32), jnp.asarray([True, True]))
+    sm.kf_descriptors[1] = (jnp.asarray([0, -1], jnp.int32), jnp.asarray(
+        np.stack([d_a1, np.zeros(D)]), jnp.float32),
+        jnp.asarray([True, False]))
+
+    np.testing.assert_allclose(np.asarray(sm.store.clip_feature[0]),
+                               (d_a0 + d_a1) / 2, rtol=1e-5)
+    # SLAM culled dataset frame 10 (internal kf 0); frame 20 survives
+    sm.update_map(ms, kfs={20: True})
+    np.testing.assert_allclose(np.asarray(sm.store.clip_feature[0]), d_a1,
+                               rtol=1e-5)
+    # instance 1 was only seen in the culled kf -> loses its descriptor
+    assert not bool(sm.store.has_clip[1])
+    assert 0 not in sm.kf_descriptors and 1 in sm.kf_descriptors
