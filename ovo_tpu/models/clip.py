@@ -83,7 +83,75 @@ MODEL_REGISTRY: Dict[str, CLIPModelConfig] = {
                         depth=24, n_heads=16, embed_dim=1024, causal=True,
                         pool="argmax"),
         clip_dim=1024),
+    "SigLIP": CLIPModelConfig(
+        # hf-hub:timm/ViT-SO400M-14-SigLIP @ 224 (clip_utils.py:55)
+        name="SigLIP",
+        vision=ViTConfig(image_size=224, patch_size=14, width=1152, depth=27,
+                         n_heads=16, mlp_ratio=3.7362, embed_dim=1152,
+                         use_cls_token=False, use_abs_pos=True, pool="attn"),
+        text=TextConfig(vocab_size=32000, context_length=64, width=1152,
+                        depth=27, n_heads=16, embed_dim=1152, causal=False,
+                        pool="last"),
+        mean=SIGLIP_MEAN, std=SIGLIP_STD, siglip=True, clip_dim=1152),
+    "SigLIP2-384": CLIPModelConfig(
+        # hf-hub:timm/ViT-SO400M-16-SigLIP2-384 (clip_utils.py:57): patch 16,
+        # Gemma 256k-token vocabulary on the text side
+        name="SigLIP2-384",
+        vision=ViTConfig(image_size=384, patch_size=16, width=1152, depth=27,
+                         n_heads=16, mlp_ratio=3.7362, embed_dim=1152,
+                         use_cls_token=False, use_abs_pos=True, pool="attn"),
+        text=TextConfig(vocab_size=256000, context_length=64, width=1152,
+                        depth=27, n_heads=16, embed_dim=1152, causal=False,
+                        pool="last"),
+        mean=SIGLIP_MEAN, std=SIGLIP_STD, siglip=True, clip_dim=1152),
+    "ViT-B-16-qg": CLIPModelConfig(
+        # hf-hub:apple/DFN2B-CLIP-ViT-B-16 (clip_utils.py:59): OpenAI-CLIP
+        # architecture with quick-gelu
+        name="ViT-B-16-qg",
+        vision=ViTConfig(image_size=224, patch_size=16, width=768, depth=12,
+                         n_heads=12, embed_dim=512, use_cls_token=True,
+                         use_abs_pos=True, pool="cls", ln_pre=True,
+                         act="quick_gelu"),
+        text=TextConfig(vocab_size=49408, context_length=77, width=512,
+                        depth=12, n_heads=8, embed_dim=512, causal=True,
+                        pool="argmax", act="quick_gelu"),
+        clip_dim=512),
+    "ViT-L-14-qg": CLIPModelConfig(
+        # hf-hub:apple/DFN2B-CLIP-ViT-L-14-39B (clip_utils.py:60)
+        name="ViT-L-14-qg",
+        vision=ViTConfig(image_size=224, patch_size=14, width=1024, depth=24,
+                         n_heads=16, embed_dim=768, use_cls_token=True,
+                         use_abs_pos=True, pool="cls", ln_pre=True,
+                         act="quick_gelu"),
+        text=TextConfig(vocab_size=49408, context_length=77, width=768,
+                        depth=12, n_heads=12, embed_dim=768, causal=True,
+                        pool="argmax", act="quick_gelu"),
+        clip_dim=768),
+    "ViT-H-14-qg": CLIPModelConfig(
+        # hf-hub:apple/DFN5B-CLIP-ViT-H-14 (clip_utils.py:61)
+        name="ViT-H-14-qg",
+        vision=ViTConfig(image_size=224, patch_size=14, width=1280, depth=32,
+                         n_heads=16, embed_dim=1024, use_cls_token=True,
+                         use_abs_pos=True, pool="cls", ln_pre=True,
+                         act="quick_gelu"),
+        text=TextConfig(vocab_size=49408, context_length=77, width=1024,
+                        depth=24, n_heads=16, embed_dim=1024, causal=True,
+                        pool="argmax", act="quick_gelu"),
+        clip_dim=1024),
+    "ViT-H-14-378qg": CLIPModelConfig(
+        # hf-hub:apple/DFN5B-CLIP-ViT-H-14-378 (clip_utils.py:62)
+        name="ViT-H-14-378qg",
+        vision=ViTConfig(image_size=378, patch_size=14, width=1280, depth=32,
+                         n_heads=16, embed_dim=1024, use_cls_token=True,
+                         use_abs_pos=True, pool="cls", ln_pre=True,
+                         act="quick_gelu"),
+        text=TextConfig(vocab_size=49408, context_length=77, width=1024,
+                        depth=24, n_heads=16, embed_dim=1024, causal=True,
+                        pool="argmax", act="quick_gelu"),
+        clip_dim=1024),
 }
+# the reference spells the PE card with an extra dash (clip_utils.py:63)
+MODEL_REGISTRY["PE-Core-L-14-336"] = MODEL_REGISTRY["PE-Core-L14-336"]
 # test-scale model for structural tests and smoke runs
 MODEL_REGISTRY["tiny-test"] = CLIPModelConfig(
     name="tiny-test",

@@ -127,10 +127,76 @@ def convert_text_tower(sd: Dict, prefix: str = "") -> Dict[str, Any]:
     }
 
 
+def convert_timm_trunk(sd: Dict, prefix: str = "visual.trunk"
+                       ) -> Dict[str, Any]:
+    """timm ViT naming, as open_clip exposes SigLIP/SigLIP2 vision towers
+    (visual.trunk.blocks.N.attn.qkv / mlp.fc1 / patch_embed.proj; MAP head
+    visual.trunk.attn_pool.{latent,q,kv,proj,norm,mlp}). NOTE: validated
+    structurally; real-checkpoint activation diffs still pending (no
+    checkpoints ship in-image)."""
+    n_blocks = 0
+    while f"{prefix}.blocks.{n_blocks}.norm1.weight" in sd:
+        n_blocks += 1
+    if n_blocks == 0:
+        raise KeyError(f"no timm blocks under {prefix}.blocks")
+
+    def block(i):
+        pre = f"{prefix}.blocks.{i}"
+        return {
+            "ln1": _ln(sd, f"{pre}.norm1"),
+            "attn": {"qkv": _lin(sd, f"{pre}.attn.qkv"),
+                     "out": _lin(sd, f"{pre}.attn.proj")},
+            "ln2": _ln(sd, f"{pre}.norm2"),
+            "mlp": {"fc": _lin(sd, f"{pre}.mlp.fc1"),
+                    "proj": _lin(sd, f"{pre}.mlp.fc2")},
+        }
+
+    conv = _np(sd[f"{prefix}.patch_embed.proj.weight"])    # (W, 3, p, p)
+    width = conv.shape[0]
+    params: Dict[str, Any] = {
+        "patch": {"w": conv.transpose(2, 3, 1, 0),
+                  "b": _np(sd[f"{prefix}.patch_embed.proj.bias"])},
+        "blocks": [block(i) for i in range(n_blocks)],
+        "ln_post": _ln(sd, f"{prefix}.norm"),
+        # SigLIP towers embed at trunk width (no separate projection)
+        "proj": np.eye(width, dtype=np.float32),
+    }
+    pe = f"{prefix}.pos_embed"
+    if pe in sd:
+        params["pos"] = _np(sd[pe]).reshape(-1, width)
+    ap = f"{prefix}.attn_pool"
+    if f"{ap}.latent" in sd:
+        kv = _np(sd[f"{ap}.kv.weight"])                    # (2W, W)
+        kvb = (_np(sd[f"{ap}.kv.bias"]) if f"{ap}.kv.bias" in sd
+               else np.zeros(kv.shape[0], np.float32))
+        k_w, v_w = np.split(kv, 2, axis=0)
+        k_b, v_b = np.split(kvb, 2, axis=0)
+        params["attn_pool"] = {
+            # timm applies no norm on the kv input (unlike PE's probe
+            # head); its norm sits post-attention before the residual MLP
+            "probe": _np(sd[f"{ap}.latent"]).reshape(1, width),
+            "ln": None,
+            "q": _lin(sd, f"{ap}.q"),
+            "k": {"w": k_w.T, "b": k_b},
+            "v": {"w": v_w.T, "b": v_b},
+            "out": _lin(sd, f"{ap}.proj"),
+        }
+        if f"{ap}.mlp.fc1.weight" in sd:
+            params["attn_pool"]["ln2"] = _ln(sd, f"{ap}.norm")
+            params["attn_pool"]["mlp"] = {
+                "fc": _lin(sd, f"{ap}.mlp.fc1"),
+                "proj": _lin(sd, f"{ap}.mlp.fc2")}
+    return params
+
+
 def convert_clip_state_dict(sd: Dict) -> Dict[str, Any]:
+    visual = (convert_timm_trunk(sd)
+              if "visual.trunk.patch_embed.proj.weight" in sd
+              else convert_visual_tower(sd, "visual"))
     params = {
-        "visual": convert_visual_tower(sd, "visual"),
-        "text": convert_text_tower(sd),
+        "visual": visual,
+        "text": convert_text_tower(
+            sd, "text" if "text.token_embedding.weight" in sd else ""),
         "logit_scale": _np(sd["logit_scale"]).reshape(())
         if "logit_scale" in sd else np.float32(np.log(1 / 0.07)),
         "logit_bias": _np(sd["logit_bias"]).reshape(())

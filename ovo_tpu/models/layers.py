@@ -43,6 +43,15 @@ def gelu(x: Array) -> Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+def quick_gelu(x: Array) -> Array:
+    """x * sigmoid(1.702 x): the OpenAI-CLIP activation the reference's
+    DFN '-qg' model cards use (clip_utils.py:58-61)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTS = {"gelu": gelu, "quick_gelu": quick_gelu}
+
+
 def mlp(p: Params, x: Array, act=gelu) -> Array:
     return linear(p["proj"], act(linear(p["fc"], x)))
 
@@ -121,14 +130,15 @@ def multi_head_attention(p: Params, x: Array, n_heads: int,
 
 def transformer_block(p: Params, x: Array, n_heads: int,
                       rope: Optional[Tuple[Array, Array]] = None,
-                      causal: bool = False, attn_impl: str = "auto") -> Array:
+                      causal: bool = False, attn_impl: str = "auto",
+                      act: str = "gelu") -> Array:
     """Pre-LN block with optional LayerScale (p['ls1']/p['ls2'])."""
     h = multi_head_attention(p["attn"], layer_norm(p["ln1"], x), n_heads,
                              rope=rope, causal=causal, attn_impl=attn_impl)
     if p.get("ls1") is not None:
         h = h * p["ls1"].astype(h.dtype)
     x = x + h
-    h = mlp(p["mlp"], layer_norm(p["ln2"], x))
+    h = mlp(p["mlp"], layer_norm(p["ln2"], x), act=ACTS[act])
     if p.get("ls2") is not None:
         h = h * p["ls2"].astype(h.dtype)
     return x + h

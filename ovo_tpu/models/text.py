@@ -29,6 +29,7 @@ class TextConfig:
     embed_dim: int = 1024
     causal: bool = True
     pool: str = "argmax"      # argmax (CLIP EOT) | last | mean
+    act: str = "gelu"         # gelu | quick_gelu (DFN '-qg' cards)
     dtype: Any = jnp.float32
 
 
@@ -54,7 +55,7 @@ def encode_text(params: Params, cfg: TextConfig, tokens: Array,
     x = x + params["pos"].astype(x.dtype)
     for blk in params["blocks"]:
         x = L.transformer_block(blk, x, cfg.n_heads, causal=cfg.causal,
-                                attn_impl=attn_impl)
+                                attn_impl=attn_impl, act=cfg.act)
     x = L.layer_norm(params["ln_final"], x)
     if cfg.pool == "argmax":
         idx = jnp.argmax(tokens, axis=-1)           # EOT has the highest id

@@ -162,15 +162,19 @@ def get_tokenizer(ckpt_dir: str | None = None, context_length: int = 77):
             path = os.path.join(ckpt_dir, name)
             if os.path.exists(path):
                 return CLIPBPETokenizer(path, context_length)
-    # LOUD: hash tokens produce structurally plausible but semantically
-    # garbage text embeddings -- silent fallback would poison query results
-    # of an otherwise real-weight run (mirrors the weight-fallback warnings)
     import sys
-    sys.stderr.write(
-        "=" * 70 + "\n"
-        "WARNING: no BPE vocab (bpe_simple_vocab_16e6.txt[.gz]) found"
-        + (f" in {ckpt_dir}" if ckpt_dir else " (no ckpt_dir given)") + ".\n"
-        "Falling back to HashTokenizer: text embeddings will be GARBAGE\n"
-        "with real model weights. Place the vocab next to the checkpoints\n"
-        "for meaningful text queries.\n" + "=" * 70 + "\n")
+    if ckpt_dir:
+        # LOUD: real weights + hash tokens produce structurally plausible
+        # but semantically garbage text embeddings -- silent fallback would
+        # poison query results (mirrors the weight-fallback warnings)
+        sys.stderr.write(
+            "=" * 70 + "\n"
+            f"WARNING: no BPE vocab (bpe_simple_vocab_16e6.txt[.gz]) in "
+            f"{ckpt_dir}.\n"
+            "Falling back to HashTokenizer: text embeddings will be GARBAGE\n"
+            "with real model weights. Place the vocab next to the\n"
+            "checkpoints for meaningful text queries.\n" + "=" * 70 + "\n")
+    else:
+        sys.stderr.write("[tokenizer] no ckpt_dir: using HashTokenizer "
+                         "(fine for random-weight runs only)\n")
     return HashTokenizer(context_length=context_length)

@@ -41,6 +41,7 @@ class ViTConfig:
     pool: str = "attn"              # cls | mean | attn
     layer_scale: Optional[float] = None
     ln_pre: bool = False
+    act: str = "gelu"               # gelu | quick_gelu (DFN '-qg' cards)
     dtype: Any = jnp.float32
 
     @property
@@ -136,7 +137,7 @@ def forward_features(params: Params, cfg: ViTConfig, imgs: Array,
         rope = (cos, sin)
     for blk in params["blocks"]:
         x = L.transformer_block(blk, x, cfg.n_heads, rope=rope,
-                                attn_impl=attn_impl)
+                                attn_impl=attn_impl, act=cfg.act)
     if norm:
         x = L.layer_norm(params["ln_post"], x)
     return x
@@ -151,7 +152,8 @@ def attn_pool(p: Params, x: Array, n_heads: int,
     hd = D // n_heads
     xq = jnp.broadcast_to(p["probe"].astype(x.dtype), (B, 1, D))
     q = L.linear(p["q"], xq)
-    k = L.linear(p["k"], L.layer_norm(p["ln"], x))
+    kin = L.layer_norm(p["ln"], x) if p.get("ln") is not None else x
+    k = L.linear(p["k"], kin)
     v = L.linear(p["v"], x)
     qh = q.reshape(B, n_heads, hd)
     kh = k.reshape(B, Lt, n_heads, hd).transpose(0, 2, 1, 3)
@@ -168,7 +170,12 @@ def attn_pool(p: Params, x: Array, n_heads: int,
     o = jnp.einsum("bhl,bhld->bhd", wts, vh,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     del outs
-    return L.linear(p["out"], o.reshape(B, D))
+    o = L.linear(p["out"], o.reshape(B, D))
+    if p.get("mlp") is not None:
+        # SigLIP MAP head (timm AttentionPoolLatent): residual MLP after
+        # the pooled attention; PE's probe head has none
+        o = o + L.mlp(p["mlp"], L.layer_norm(p["ln2"], o))
+    return o
 
 
 def encode(params: Params, cfg: ViTConfig, imgs: Array,

@@ -223,3 +223,102 @@ def test_textregion_batch_matches_single(rng):
     for j in range(2):
         out = np.asarray(emb.embed_masks(images[j], masks[j], valid[j]))
         np.testing.assert_allclose(out_b[j], out, atol=2e-5)
+
+
+ZOO_CARDS = [c for c in MODEL_REGISTRY
+             if c not in ("tiny-test", "PE-Core-L-14-336")]  # alias
+
+
+@pytest.mark.parametrize("card", ZOO_CARDS)
+def test_zoo_card_traces_to_correct_dims(card):
+    """Every reference model card (clip_utils.py:51-86) random-inits and
+    traces a full vision+text forward to its published clip_dim, without
+    materializing the (possibly huge) parameter arrays (jax.eval_shape)."""
+    cfg = MODEL_REGISTRY[card]
+
+    def build_and_run(seed):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        vp = vit_mod.init_vit(k1, cfg.vision)
+        tp = text_mod.init_text(k2, cfg.text)
+        img = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3),
+                        jnp.float32)
+        tok = jnp.zeros((2, cfg.text.context_length), jnp.int32)
+        return (vit_mod.encode(vp, cfg.vision, img),
+                text_mod.encode_text(tp, cfg.text, tok))
+
+    vi, tx = jax.eval_shape(build_and_run, jnp.asarray(0, jnp.uint32))
+    assert vi.shape == (1, cfg.clip_dim), (card, vi.shape)
+    assert tx.shape == (2, cfg.clip_dim), (card, tx.shape)
+
+
+def test_quick_gelu_card_numeric_forward(rng):
+    """The smallest DFN card runs a real random-init forward; quick-gelu
+    actually changes the activation path vs exact gelu."""
+    m = CLIPModel.random_init("ViT-B-16-qg")
+    img = jnp.asarray(rng.random((1, 224, 224, 3)), jnp.float32)
+    emb = m.encode_image(img)
+    assert emb.shape == (1, 512) and np.isfinite(np.asarray(emb)).all()
+    txt = m.encode_text(["a chair", "a table"])
+    assert txt.shape == (2, 512) and np.isfinite(np.asarray(txt)).all()
+
+    x = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    qg = np.asarray(L.quick_gelu(x))
+    torch_qg = (torch.from_numpy(np.asarray(x))
+                * torch.sigmoid(1.702 * torch.from_numpy(np.asarray(x))))
+    np.testing.assert_allclose(qg, torch_qg.numpy(), rtol=1e-6, atol=1e-6)
+    assert np.abs(qg - np.asarray(L.gelu(x))).max() > 1e-3
+
+
+def test_timm_trunk_conversion_roundtrip(rng):
+    """A fabricated timm-naming SigLIP-style state dict converts to a tree
+    our ViT runs; the MAP head's kv split and residual MLP land correctly."""
+    W, p, img, depth, heads = 64, 16, 64, 2, 4
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    def t(*shape): return torch.randn(*shape, generator=g) * 0.02
+    pre = "visual.trunk"
+    sd[f"{pre}.patch_embed.proj.weight"] = t(W, 3, p, p)
+    sd[f"{pre}.patch_embed.proj.bias"] = t(W)
+    sd[f"{pre}.pos_embed"] = t(1, (img // p) ** 2, W)
+    for i in range(depth):
+        b = f"{pre}.blocks.{i}"
+        sd[f"{b}.norm1.weight"] = t(W); sd[f"{b}.norm1.bias"] = t(W)
+        sd[f"{b}.attn.qkv.weight"] = t(3 * W, W)
+        sd[f"{b}.attn.qkv.bias"] = t(3 * W)
+        sd[f"{b}.attn.proj.weight"] = t(W, W)
+        sd[f"{b}.attn.proj.bias"] = t(W)
+        sd[f"{b}.norm2.weight"] = t(W); sd[f"{b}.norm2.bias"] = t(W)
+        sd[f"{b}.mlp.fc1.weight"] = t(4 * W, W)
+        sd[f"{b}.mlp.fc1.bias"] = t(4 * W)
+        sd[f"{b}.mlp.fc2.weight"] = t(W, 4 * W)
+        sd[f"{b}.mlp.fc2.bias"] = t(W)
+    sd[f"{pre}.norm.weight"] = t(W); sd[f"{pre}.norm.bias"] = t(W)
+    ap = f"{pre}.attn_pool"
+    sd[f"{ap}.latent"] = t(1, 1, W)
+    sd[f"{ap}.q.weight"] = t(W, W); sd[f"{ap}.q.bias"] = t(W)
+    sd[f"{ap}.kv.weight"] = t(2 * W, W); sd[f"{ap}.kv.bias"] = t(2 * W)
+    sd[f"{ap}.proj.weight"] = t(W, W); sd[f"{ap}.proj.bias"] = t(W)
+    sd[f"{ap}.norm.weight"] = t(W); sd[f"{ap}.norm.bias"] = t(W)
+    sd[f"{ap}.mlp.fc1.weight"] = t(4 * W, W); sd[f"{ap}.mlp.fc1.bias"] = t(4 * W)
+    sd[f"{ap}.mlp.fc2.weight"] = t(W, 4 * W); sd[f"{ap}.mlp.fc2.bias"] = t(W)
+
+    params = convert.convert_timm_trunk(sd)
+    assert params["attn_pool"]["ln"] is None
+    assert "mlp" in params["attn_pool"]
+    # kv split: k rows then v rows
+    np.testing.assert_allclose(
+        params["attn_pool"]["k"]["w"],
+        sd[f"{ap}.kv.weight"][:W].numpy().T, rtol=1e-6)
+    np.testing.assert_allclose(
+        params["attn_pool"]["v"]["w"],
+        sd[f"{ap}.kv.weight"][W:].numpy().T, rtol=1e-6)
+
+    from ovo_tpu.models.vit import ViTConfig
+    cfg = ViTConfig(image_size=img, patch_size=p, width=W, depth=depth,
+                    n_heads=heads, embed_dim=W, use_cls_token=False,
+                    use_abs_pos=True, pool="attn")
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if x is not None else None, params)
+    x = jnp.asarray(rng.random((1, img, img, 3)), jnp.float32)
+    out = vit_mod.encode(params, cfg, x)
+    assert out.shape == (1, W) and np.isfinite(np.asarray(out)).all()
