@@ -16,12 +16,23 @@
 // exposed through a plain C ABI for ctypes.
 //
 // Keyframes: spawned when translation/rotation to the last keyframe exceeds
-// thresholds or the inlier ratio drops. A lightweight pose-graph hook bumps
-// big_change_idx when a (future) loop-closure optimization adjusts past
-// keyframes; round-1 keeps odometry-only tracking, so the counter is static
-// after init.
+// thresholds or the inlier ratio drops. Every keyframe is stored (pose + a
+// small quarter/eighth-res pyramid) in a keyframe store.
+//
+// Loop closing (the reference tier's reason to exist -- ORB-SLAM3's
+// loop-closing/GBA threads behind get_last_big_change_idx,
+// /root/reference/ovo/slam/orbslam.py:62-66): when a new keyframe lands
+// spatially near a much older keyframe, the two small pyramids are
+// re-aligned directly; an accepted alignment yields a loop constraint whose
+// error is distributed along the keyframe chain by se(3) interpolation
+// (single-loop pose-graph relaxation), redundant keyframes are culled, and
+// big_change_idx increments -- driving the Python side's dense-map rebuild
+// and semantic loop closure exactly like ORB-SLAM3's pose-graph
+// optimization does for the reference.
 
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -46,6 +57,31 @@ Mat4 matmul(const Mat4& a, const Mat4& b) {
       r.m[i * 4 + j] = s;
     }
   return r;
+}
+
+// Gram-Schmidt re-orthonormalization of the rotation block. The tracking
+// recursion seeds each alignment with inv(cur_pose)*key_pose and composes
+// the result back; inverse_rigid uses the transpose as the inverse, so any
+// non-orthogonality in the chain AMPLIFIES (~5x per keyframe, measured).
+// Snapping the rotation at keyframe boundaries keeps the chain rigid.
+void orthonormalize(Mat4* t) {
+  double r[3][3];
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) r[i][j] = t->m[i * 4 + j];
+  // columns: c0, c1, c2
+  double n0 = std::sqrt(r[0][0] * r[0][0] + r[1][0] * r[1][0] +
+                        r[2][0] * r[2][0]);
+  for (int i = 0; i < 3; ++i) r[i][0] /= n0;
+  double d01 = r[0][0] * r[0][1] + r[1][0] * r[1][1] + r[2][0] * r[2][1];
+  for (int i = 0; i < 3; ++i) r[i][1] -= d01 * r[i][0];
+  double n1 = std::sqrt(r[0][1] * r[0][1] + r[1][1] * r[1][1] +
+                        r[2][1] * r[2][1]);
+  for (int i = 0; i < 3; ++i) r[i][1] /= n1;
+  r[0][2] = r[1][0] * r[2][1] - r[2][0] * r[1][1];
+  r[1][2] = r[2][0] * r[0][1] - r[0][0] * r[2][1];
+  r[2][2] = r[0][0] * r[1][1] - r[1][0] * r[0][1];
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) t->m[i * 4 + j] = r[i][j];
 }
 
 Mat4 inverse_rigid(const Mat4& t) {
@@ -99,6 +135,54 @@ Mat4 se3_exp(const double xi[6]) {
     T.m[i * 4 + 3] = s;
   }
   return T;
+}
+
+// se(3) logarithm: inverse of se3_exp (xi = [w, t])
+void se3_log(const Mat4& T, double xi[6]) {
+  const double tr = T.m[0] + T.m[5] + T.m[10];
+  const double cos_t = std::fmax(-1.0, std::fmin(1.0, (tr - 1.0) / 2.0));
+  const double theta = std::acos(cos_t);
+  double wx, wy, wz;
+  if (theta < 1e-8) {
+    wx = 0.5 * (T.m[9] - T.m[6]);
+    wy = 0.5 * (T.m[2] - T.m[8]);
+    wz = 0.5 * (T.m[4] - T.m[1]);
+  } else {
+    const double s = theta / (2.0 * std::sin(theta));
+    wx = s * (T.m[9] - T.m[6]);
+    wy = s * (T.m[2] - T.m[8]);
+    wz = s * (T.m[4] - T.m[1]);
+  }
+  xi[0] = wx; xi[1] = wy; xi[2] = wz;
+  const double theta2 = wx * wx + wy * wy + wz * wz;
+  const double W[9] = {0, -wz, wy, wz, 0, -wx, -wy, wx, 0};
+  double W2[9];
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) {
+      double s = 0;
+      for (int k = 0; k < 3; ++k) s += W[i * 3 + k] * W[k * 3 + j];
+      W2[i * 3 + j] = s;
+    }
+  // V^{-1} = I - W/2 + c W^2, c = (1 - A/(2B))/theta^2 (-> 1/12 at 0)
+  double c;
+  if (theta2 < 1e-12) {
+    c = 1.0 / 12.0;
+  } else {
+    const double th = std::sqrt(theta2);
+    const double A = std::sin(th) / th;
+    const double B = (1.0 - std::cos(th)) / theta2;
+    c = (1.0 - A / (2.0 * B)) / theta2;
+  }
+  double Vinv[9];
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j)
+      Vinv[i * 3 + j] =
+          (i == j ? 1.0 : 0.0) - 0.5 * W[i * 3 + j] + c * W2[i * 3 + j];
+  for (int i = 0; i < 3; ++i) {
+    double s = 0;
+    for (int j = 0; j < 3; ++j) s += Vinv[i * 3 + j] * T.m[j * 4 + 3];
+    xi[3 + i] = s;
+  }
 }
 
 bool solve6x6(double H[36], const double g[6], double dx[6]) {
@@ -201,13 +285,22 @@ inline bool bilerp(const std::vector<float>& img, int w, int h, double x,
   return true;
 }
 
+// A stored keyframe: pose + a small (quarter+eighth res) pyramid for
+// loop-closure re-alignment. The memory cost is ~0.5 MB per keyframe at
+// Replica resolution, so hundreds of keyframes fit comfortably.
+struct Keyframe {
+  double id = 0;           // frame id (the timestamp passed by the caller)
+  Mat4 pose;               // camera-to-world
+  Pyramid pyr;             // 2 levels, level 0 = quarter resolution
+  bool culled = false;
+};
+
 struct Tracker {
   enum State { NOT_INITIALIZED = 0, OK = 2, LOST = 3 };  // ORB-SLAM3 codes
 
   Pyramid key;        // reference keyframe pyramid
   Mat4 key_pose;      // keyframe camera-to-world
   Mat4 cur_pose;      // current camera-to-world
-  Mat4 vel;           // constant-velocity model (last relative motion)
   int state = NOT_INITIALIZED;
   bool last_frame_kf = false;
   int big_change_idx = 0;
@@ -220,17 +313,26 @@ struct Tracker {
 
   double last_inlier_ratio = 1.0;
 
-  // Estimate T_cur_key (camera motion from keyframe to current frame).
-  // Returns false if alignment diverged.
-  bool align(const Pyramid& cur, Mat4* T_ck, double* inlier_ratio) {
-    Mat4 T = *T_ck;  // init (constant velocity)
+  // ---- loop closing state ----
+  std::vector<Keyframe> kfs;
+  int min_loop_kf_gap = 8;     // candidate must be this many keyframes old
+  double loop_radius = 0.0;    // 0 -> derived from kf_trans_th at create()
+  double loop_rot_limit = 0.8;
+  double loop_inlier_th = 0.55;
+  int loop_cooldown = 0;       // keyframes to skip after a closure
+
+  // Estimate T_cur_key (camera motion from keyframe ``ref`` to frame
+  // ``cur``). Returns false if alignment diverged.
+  bool align(const Pyramid& ref, const Pyramid& cur, Mat4* T_ck,
+             double* inlier_ratio) const {
+    Mat4 T = *T_ck;  // init (zero-velocity / drifted relative estimate)
     const double huber_i = 0.07;   // photometric (intensity in [0,1])
     const double huber_d = 0.04;   // inverse-depth-ish geometric
     double final_ratio = 0.0;
-    for (int l = key.levels - 1; l >= 0; --l) {
-      const int W = key.w[l], H = key.h[l];
-      const double fx = key.fx[l], fy = key.fy[l];
-      const double cx = key.cx[l], cy = key.cy[l];
+    for (int l = ref.levels - 1; l >= 0; --l) {
+      const int W = ref.w[l], H = ref.h[l];
+      const double fx = ref.fx[l], fy = ref.fy[l];
+      const double cx = ref.cx[l], cy = ref.cy[l];
       for (int it = 0; it < 10; ++it) {
         double Hm[36] = {0}, g[6] = {0};
         int n_res = 0, n_in = 0;
@@ -238,7 +340,7 @@ struct Tracker {
         const int step = l == 0 ? 2 : 1;  // subsample full res
         for (int y = 1; y < H - 1; y += step)
           for (int x = 1; x < W - 1; x += step) {
-            const float d = key.depth[l][y * W + x];
+            const float d = ref.depth[l][y * W + x];
             if (d <= 0) continue;
             // keyframe point in keyframe camera coords
             const double X = (x - cx) * d / fx;
@@ -256,7 +358,7 @@ struct Tracker {
             if (!bilerp(cur.depth[l], W, H, u, v, &dc) || dc <= 0) continue;
             ++n_res;
             // residuals
-            const float ik = key.gray[l][y * W + x];
+            const float ik = ref.gray[l][y * W + x];
             const double r_i = static_cast<double>(ic - ik);
             const double r_d = (dc - Zc);
             // gradients of current intensity
@@ -317,6 +419,129 @@ struct Tracker {
     *inlier_ratio = final_ratio;
     return true;
   }
+
+  // Store the just-promoted keyframe (pose + quarter/eighth-res pyramid for
+  // loop re-alignment) and run loop detection + closure.
+  void on_new_keyframe(const Pyramid& cur, double frame_id) {
+    Keyframe kf;
+    kf.id = frame_id;
+    kf.pose = cur_pose;
+    const int small = cur.levels - 1;  // quarter resolution
+    kf.pyr.levels = 2;
+    kf.pyr.build(cur.gray[small].data(), cur.depth[small].data(),
+                 cur.w[small], cur.h[small], cur.fx[small], cur.fy[small],
+                 cur.cx[small], cur.cy[small]);
+    kfs.push_back(std::move(kf));
+    if (loop_cooldown > 0) {
+      --loop_cooldown;
+      return;
+    }
+    try_close_loop();
+  }
+
+  static double pose_distance(const Mat4& a, const Mat4& b, double* rot) {
+    const double dx = a.m[3] - b.m[3], dy = a.m[7] - b.m[7],
+                 dz = a.m[11] - b.m[11];
+    if (rot) {
+      // angle of Ra^T Rb
+      double tr = 0;
+      for (int i = 0; i < 3; ++i)
+        for (int k = 0; k < 3; ++k) tr += a.m[k * 4 + i] * b.m[k * 4 + i];
+      *rot = std::acos(std::fmax(-1.0, std::fmin(1.0, (tr - 1.0) / 2.0)));
+    }
+    return std::sqrt(dx * dx + dy * dy + dz * dz);
+  }
+
+  // Detect a revisit of a much older keyframe, re-align the two small
+  // pyramids, and distribute the closure error along the keyframe chain
+  // (single-loop pose-graph relaxation by se(3) interpolation). Mirrors the
+  // effect of ORB-SLAM3's loop-closing + pose-graph optimization behind
+  // get_last_big_change_idx (/root/reference/ovo/slam/orbslam.py:62-66).
+  void try_close_loop() {
+    const int last = static_cast<int>(kfs.size()) - 1;
+    if (last < min_loop_kf_gap + 1) return;
+    // candidate: nearest (by drifted pose) non-culled keyframe at least
+    // min_loop_kf_gap keyframes old, within the spatial/rotation gate
+    int cand = -1;
+    double best = loop_radius;
+    for (int j = 0; j <= last - 1 - min_loop_kf_gap; ++j) {
+      if (kfs[j].culled) continue;
+      double rot;
+      const double d = pose_distance(kfs[last].pose, kfs[j].pose, &rot);
+      if (d < best && rot < loop_rot_limit) {
+        best = d;
+        cand = j;
+      }
+    }
+    if (cand < 0) return;
+    const bool dbg = std::getenv("OVO_TRACKER_DEBUG") != nullptr;
+    if (dbg)
+      std::fprintf(stderr, "[lc] cand=%d last=%d dist=%.4f\n", cand, last,
+                   best);
+    // re-align the two small pyramids: T maps cand-camera -> new-camera,
+    // seeded from the drifted relative pose estimate
+    Mat4 T = matmul(inverse_rigid(kfs[last].pose), kfs[cand].pose);
+    double ratio = 0.0;
+    if (!align(kfs[cand].pyr, kfs[last].pyr, &T, &ratio)) {
+      if (dbg) std::fprintf(stderr, "[lc] align diverged\n");
+      return;
+    }
+    if (dbg) std::fprintf(stderr, "[lc] align ratio=%.3f\n", ratio);
+    if (ratio < loop_inlier_th) return;
+    // corrected pose of the new keyframe, anchored at the (old, trusted)
+    // candidate: world = cand.pose * p_cand, p_cand = T^-1 * p_new
+    const Mat4 corrected = matmul(kfs[cand].pose, inverse_rigid(T));
+    // world-frame correction transform and its twist
+    const Mat4 E = matmul(corrected, inverse_rigid(kfs[last].pose));
+    double xi[6];
+    se3_log(E, xi);
+    const double t_norm = std::sqrt(xi[3] * xi[3] + xi[4] * xi[4] +
+                                    xi[5] * xi[5]);
+    const double r_norm = std::sqrt(xi[0] * xi[0] + xi[1] * xi[1] +
+                                    xi[2] * xi[2]);
+    if (dbg)
+      std::fprintf(stderr, "[lc] correction t=%.4f r=%.4f\n", t_norm, r_norm);
+    if (t_norm < 1e-3 && r_norm < 1e-3) {
+      loop_cooldown = 2;  // drift negligible: nothing to correct yet
+      return;
+    }
+    // distribute the correction along the chain: keyframes right after the
+    // candidate move little, the newest moves by the full E
+    for (int i = cand + 1; i <= last; ++i) {
+      const double a =
+          static_cast<double>(i - cand) / static_cast<double>(last - cand);
+      double axi[6];
+      for (int k = 0; k < 6; ++k) axi[k] = a * xi[k];
+      kfs[i].pose = matmul(se3_exp(axi), kfs[i].pose);
+    }
+    // the live tracking frame IS the newest keyframe at this point
+    key_pose = kfs[last].pose;
+    cur_pose = kfs[last].pose;
+    cull_redundant_keyframes();
+    ++big_change_idx;
+    loop_cooldown = min_loop_kf_gap;
+  }
+
+  // After a closure the revisited stretch overlaps older keyframes; drop
+  // keyframes whose pose is (now) redundant with an earlier surviving one,
+  // like ORB-SLAM3's keyframe culling (reference orbslam.py:92-107 drops
+  // pruned keyframes from the dense map).
+  void cull_redundant_keyframes() {
+    const int last = static_cast<int>(kfs.size()) - 1;
+    for (int i = 1; i < last; ++i) {
+      if (kfs[i].culled) continue;
+      for (int j = 0; j < i; ++j) {
+        if (kfs[j].culled) continue;
+        double rot;
+        const double d = pose_distance(kfs[i].pose, kfs[j].pose, &rot);
+        if (d < 0.5 * kf_trans_th && rot < 0.5 * kf_rot_th) {
+          kfs[i].culled = true;
+          kfs[i].pyr = Pyramid();  // free the pyramid memory
+          break;
+        }
+      }
+    }
+  }
 };
 
 }  // namespace
@@ -329,9 +554,9 @@ void* ovo_tracker_create(double kf_trans_th, double kf_rot_th,
   if (kf_trans_th > 0) t->kf_trans_th = kf_trans_th;
   if (kf_rot_th > 0) t->kf_rot_th = kf_rot_th;
   if (kf_inlier_th > 0) t->kf_inlier_th = kf_inlier_th;
+  t->loop_radius = 2.5 * t->kf_trans_th;
   t->key_pose = Mat4::identity();
   t->cur_pose = Mat4::identity();
-  t->vel = Mat4::identity();
   return t;
 }
 
@@ -342,7 +567,7 @@ void ovo_tracker_destroy(void* h) { delete static_cast<Tracker*>(h); }
 int ovo_tracker_process_image_rgbd(void* h, const float* gray,
                                    const float* depth, int w, int hgt,
                                    double fx, double fy, double cx, double cy,
-                                   double /*timestamp*/) {
+                                   double timestamp) {
   auto* t = static_cast<Tracker*>(h);
   Pyramid cur;
   cur.build(gray, depth, w, hgt, fx, fy, cx, cy);
@@ -355,19 +580,23 @@ int ovo_tracker_process_image_rgbd(void* h, const float* gray,
     t->state = Tracker::OK;
     t->last_frame_kf = true;
     t->big_change_idx = 0;
+    t->on_new_keyframe(cur, timestamp);
   } else {
-    // init from constant-velocity: T_ck_init = vel * T_ck_prev, where
-    // T_ck_prev = inv(key_pose) ... track relative to key directly
-    Mat4 T_ck = matmul(t->vel, matmul(inverse_rigid(t->cur_pose), t->key_pose));
+    // Seed from the last pose relative to the keyframe (zero-velocity
+    // model, like Open3D's odometry seeds identity between consecutive
+    // frames). A constant-velocity seed is deliberately NOT used: the
+    // frame-to-KEYFRAME Gauss-Newton under-corrects near-degenerate
+    // translation modes on low-structure scenes, and velocity
+    // extrapolation turns that residual error into a ~3x/frame runaway
+    // (reproduced on a flat synthetic scene; zero-velocity is stable).
+    // The frame-to-keyframe displacement of the seed is one inter-frame
+    // motion, well inside the coarse pyramid level's convergence basin.
+    Mat4 T_ck = matmul(inverse_rigid(t->cur_pose), t->key_pose);
     // T_ck maps key-camera coords -> current-camera coords
     double ratio = 0.0;
     Mat4 T_est = T_ck;
-    if (t->align(cur, &T_est, &ratio)) {
-      Mat4 prev_pose = t->cur_pose;
+    if (t->align(t->key, cur, &T_est, &ratio)) {
       t->cur_pose = matmul(t->key_pose, inverse_rigid(T_est));
-      // constant-velocity model: assume the next inter-frame motion repeats
-      // this one (T_cur_prev maps prev-camera coords -> current camera)
-      t->vel = matmul(inverse_rigid(t->cur_pose), prev_pose);
       t->state = Tracker::OK;
       t->last_inlier_ratio = ratio;
       // keyframe decision: distance from keyframe
@@ -377,9 +606,11 @@ int ovo_tracker_process_image_rgbd(void* h, const float* gray,
       double rot = std::acos(std::fmin(1.0, std::fmax(-1.0, (tr - 1.0) / 2.0)));
       if (trans > t->kf_trans_th || rot > t->kf_rot_th ||
           ratio < t->kf_inlier_th) {
+        orthonormalize(&t->cur_pose);
         t->key = cur;
         t->key_pose = t->cur_pose;
         t->last_frame_kf = true;
+        t->on_new_keyframe(cur, timestamp);
       }
     } else {
       t->state = Tracker::LOST;
@@ -414,6 +645,39 @@ long ovo_tracker_num_frames(void* h) {
 
 double ovo_tracker_last_inlier_ratio(void* h) {
   return static_cast<Tracker*>(h)->last_inlier_ratio;
+}
+
+// ---- keyframe store (consumed by the Python side's map rebuild after a
+// big change, reference orbslam.py:68-115) ----
+
+int ovo_tracker_num_keyframes(void* h) {
+  return static_cast<int>(static_cast<Tracker*>(h)->kfs.size());
+}
+
+// Writes the keyframe's (possibly loop-corrected) camera-to-world pose and
+// returns its frame id (the timestamp passed to process_image_rgbd).
+double ovo_tracker_get_keyframe_pose(void* h, int i, double* out16) {
+  auto* t = static_cast<Tracker*>(h);
+  if (i < 0 || i >= static_cast<int>(t->kfs.size())) return -1.0;
+  std::memcpy(out16, t->kfs[i].pose.m, 16 * sizeof(double));
+  return t->kfs[i].id;
+}
+
+int ovo_tracker_keyframe_culled(void* h, int i) {
+  auto* t = static_cast<Tracker*>(h);
+  if (i < 0 || i >= static_cast<int>(t->kfs.size())) return 0;
+  return t->kfs[i].culled ? 1 : 0;
+}
+
+// Tune loop-closure gates (tests use tighter/looser settings than the
+// defaults derived from the keyframe thresholds). Non-positive = keep.
+void ovo_tracker_set_loop_params(void* h, int min_kf_gap, double radius,
+                                 double rot_limit, double inlier_th) {
+  auto* t = static_cast<Tracker*>(h);
+  if (min_kf_gap > 0) t->min_loop_kf_gap = min_kf_gap;
+  if (radius > 0) t->loop_radius = radius;
+  if (rot_limit > 0) t->loop_rot_limit = rot_limit;
+  if (inlier_th > 0) t->loop_inlier_th = inlier_th;
 }
 
 void ovo_tracker_shutdown(void* h) { (void)h; }

@@ -13,14 +13,17 @@ surface through a C ABI; it is built on demand with the in-image g++.
 from __future__ import annotations
 
 import ctypes
+import functools
 import os
 import subprocess
 from typing import Any, Dict, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..mapping.map_state import MapState
+from ..ops import segment_mxu
 from .vanilla import VanillaMapper
 
 _TRACKER_DIR = os.path.join(os.path.dirname(__file__), "..", "native",
@@ -54,6 +57,16 @@ def _load_library() -> ctypes.CDLL:
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     lib.ovo_tracker_last_inlier_ratio.restype = ctypes.c_double
     lib.ovo_tracker_last_inlier_ratio.argtypes = [ctypes.c_void_p]
+    lib.ovo_tracker_num_keyframes.restype = ctypes.c_int
+    lib.ovo_tracker_num_keyframes.argtypes = [ctypes.c_void_p]
+    lib.ovo_tracker_get_keyframe_pose.restype = ctypes.c_double
+    lib.ovo_tracker_get_keyframe_pose.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
+    lib.ovo_tracker_keyframe_culled.restype = ctypes.c_int
+    lib.ovo_tracker_keyframe_culled.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ovo_tracker_set_loop_params.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double]
     lib.ovo_tracker_destroy.argtypes = [ctypes.c_void_p]
     return lib
 
@@ -93,6 +106,27 @@ class NativeTracker:
 
     def last_inlier_ratio(self) -> float:
         return self._lib.ovo_tracker_last_inlier_ratio(self._h)
+
+    def num_keyframes(self) -> int:
+        return self._lib.ovo_tracker_num_keyframes(self._h)
+
+    def get_keyframes(self):
+        """All stored keyframes as (frame_id, c2w pose, culled) triples,
+        with poses reflecting any loop-closure corrections."""
+        out = []
+        buf = (ctypes.c_double * 16)()
+        for i in range(self.num_keyframes()):
+            fid = self._lib.ovo_tracker_get_keyframe_pose(self._h, i, buf)
+            pose = np.array(buf, dtype=np.float64).reshape(4, 4)  # copy
+            culled = bool(self._lib.ovo_tracker_keyframe_culled(self._h, i))
+            out.append((fid, pose, culled))
+        return out
+
+    def set_loop_params(self, min_kf_gap: int = 0, radius: float = 0.0,
+                        rot_limit: float = 0.0, inlier_th: float = 0.0):
+        """Tune loop-closure gates; non-positive keeps the default."""
+        self._lib.ovo_tracker_set_loop_params(self._h, min_kf_gap, radius,
+                                              rot_limit, inlier_th)
 
     def shutdown(self) -> None:
         if self._h:
@@ -155,22 +189,99 @@ class WrapperORBSLAM(VanillaMapper):
         idx = self.tracker.get_last_big_change_idx()
         if idx != self.last_big_change:
             self.last_big_change = idx
-            self._rebuild_map()
+            # refresh keyframe poses from the tracker's (loop-corrected)
+            # keyframe store; collect the culled ones for dropping
+            culled_ids = set()
+            for fid, pose, culled in self.tracker.get_keyframes():
+                frame_id = int(round(fid))
+                if culled:
+                    culled_ids.add(frame_id)
+                else:
+                    self.estimated_c2ws[frame_id] = (
+                        self.world_ref @ pose.astype(np.float32))
+            self._rebuild_map(culled_ids)
+            for fid in culled_ids:
+                self.kfs.pop(fid, None)
             self.map_updated = True
 
-    def _rebuild_map(self) -> None:
+    def _rebuild_map(self, culled_ids=frozenset()) -> None:
         """Rigidly re-transform each keyframe's point block with its updated
-        pose (orbslam.py:68-115). Block-diagonal batched transform on
-        device; blocks whose keyframes were culled would be dropped here."""
-        state = self.state
-        pts = np.array(state.points)
-        for frame_id, blk in self.kf_blocks.items():
+        pose and drop blocks of culled keyframes (reference
+        orbslam.py:68-115). The heavy lifting is ONE jitted device program:
+        per-point block ids via searchsorted, per-block 3x4 deltas applied
+        through an MXU table lookup, and (only when keyframes were culled) a
+        stable compaction of the surviving points."""
+        blocks = list(self.kf_blocks.items())
+        if not blocks:
+            return
+        n_b = len(blocks)
+        # pad the block axis to a power-of-2 bucket (+1 identity row) so the
+        # rare rebuild only ever compiles a handful of specializations
+        bp = 1
+        while bp < n_b + 1:
+            bp *= 2
+        starts = np.empty((bp,), np.int32)
+        deltas = np.tile(np.eye(3, 4, dtype=np.float32), (bp, 1, 1))
+        keep = np.ones((bp,), np.float32)
+        for b, (frame_id, blk) in enumerate(blocks):
+            starts[b] = blk["range"][0]
+            if frame_id in culled_ids:
+                keep[b] = 0.0
+                continue
             new_c2w = self.estimated_c2ws.get(frame_id)
             if new_c2w is None:
                 continue
-            s, e = blk["range"]
-            old = blk["c2w"]
-            delta = new_c2w @ np.linalg.inv(old)
-            pts[s:e] = pts[s:e] @ delta[:3, :3].T + delta[:3, 3]
+            delta = new_c2w @ np.linalg.inv(blk["c2w"])
+            deltas[b] = delta[:3, :4]
             blk["c2w"] = np.asarray(new_c2w, np.float32)
-        self.state = state._replace(points=jnp.asarray(pts))
+        starts[n_b:] = blocks[-1][1]["range"][1]  # end of the last block
+        compact = bool(culled_ids)
+        self.state = _apply_block_deltas(
+            self.state, jnp.asarray(starts), jnp.asarray(deltas),
+            jnp.asarray(keep), compact=compact)
+        if compact:
+            # whole blocks were dropped: shift the surviving ranges
+            dropped = 0
+            new_blocks: Dict[int, Dict[str, Any]] = {}
+            for frame_id, blk in blocks:
+                s, e = blk["range"]
+                if frame_id in culled_ids:
+                    dropped += e - s
+                    continue
+                blk["range"] = (s - dropped, e - dropped)
+                new_blocks[frame_id] = blk
+            self.kf_blocks = new_blocks
+
+
+@functools.partial(jax.jit, static_argnames=("compact",), donate_argnums=(0,))
+def _apply_block_deltas(state: MapState, starts, deltas, keep, *,
+                        compact: bool) -> MapState:
+    """Apply per-keyframe-block rigid corrections to the point map.
+
+    DONATION CONTRACT: ``state`` is donated (see map_state.map_insert_frame).
+
+    starts: (Bp,) i32 -- block b covers rows [starts[b], starts[b+1]); the
+            tail is padded with the end of the last block so rows past it
+            resolve to the identity row Bp-1.
+    deltas: (Bp, 3, 4) f32 rigid transforms (row Bp-1 and padding identity).
+    keep:   (Bp,) f32 0/1 -- 0 drops the whole block (culled keyframe).
+    """
+    n = state.capacity
+    bp = deltas.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    blk = jnp.searchsorted(starts, idx, side="right").astype(jnp.int32) - 1
+    blk = jnp.where((blk < 0) | (blk >= bp), bp - 1, blk)
+    m = segment_mxu.table_lookup(blk, deltas.reshape(bp, 12)).reshape(n, 3, 4)
+    pts = jnp.einsum("nij,nj->ni", m[:, :, :3], state.points) + m[:, :, 3]
+    if not compact:
+        return state._replace(points=pts)
+    keep_pt = (segment_mxu.table_lookup(blk, keep) > 0.5) & (idx < state.count)
+    perm = jnp.argsort(~keep_pt, stable=True)
+    return MapState(
+        points=pts[perm],
+        point_ids=state.point_ids[perm],
+        obj_ids=state.obj_ids[perm],
+        colors=state.colors[perm],
+        count=jnp.sum(keep_pt.astype(jnp.int32)),
+        next_point_id=state.next_point_id,
+    )

@@ -1,5 +1,6 @@
 """Native C++ RGB-D tracker: build, bindings, odometry accuracy on a
 synthetic textured scene."""
+import jax
 import numpy as np
 import pytest
 
@@ -56,6 +57,74 @@ def test_tracker_recovers_translation(tracker):
         np.testing.assert_allclose(pose[:3, :3], np.eye(3), atol=0.02)
 
 
+def render_plane_noisy(c2w, rng, sigma=0.02, z_plane=2.0):
+    gray, depth = render_plane(c2w, z_plane)
+    return (gray + rng.normal(0, sigma, gray.shape).astype(np.float32),
+            depth)
+
+
+def drive_loop_sequence(t, rng, out_frames=20, step=0.025):
+    """Out-and-back along +x with noisy imagery: odometry drifts on the way
+    out, and the return to the start revisits the first keyframes."""
+    xs = ([i * step for i in range(1, out_frames + 1)]
+          + [(out_frames - i) * step for i in range(1, out_frames + 1)])
+    poses = []
+    for i, x in enumerate(xs):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = x
+        gray, depth = render_plane_noisy(c2w, rng)
+        state = t.process_image_rgbd(gray, depth, FX, FY, CX, CY,
+                                     timestamp=float(i + 1))
+        assert state == STATE_OK
+        poses.append((x, t.get_last_trajectory_point()))
+    return poses
+
+
+def test_loop_closure_on_revisit():
+    """A drifted out-and-back sequence must trigger a loop closure: the
+    big-change counter increments and the corrected final pose beats the
+    drifted odometry (mirrors the role of ORB-SLAM3's loop-closing thread
+    behind get_last_big_change_idx, reference orbslam.py:62-66)."""
+    rng = np.random.default_rng(7)
+    t = NativeTracker(kf_trans_th=0.05)
+    t.set_loop_params(min_kf_gap=5, radius=0.15, rot_limit=1.0,
+                      inlier_th=0.3)
+    gray, depth = render_plane_noisy(np.eye(4, dtype=np.float32), rng)
+    t.process_image_rgbd(gray, depth, FX, FY, CX, CY, timestamp=0.0)
+    poses = drive_loop_sequence(t, rng)
+    assert t.get_last_big_change_idx() >= 1, \
+        "revisit did not trigger a loop closure"
+    # after the closure the final pose (back at x=0) must be accurate
+    x_gt, final = poses[-1]
+    assert abs(final[0, 3] - x_gt) < 0.05, (final[0, 3], x_gt)
+    # keyframe store is exposed with loop-corrected poses
+    kfs = t.get_keyframes()
+    assert len(kfs) >= 8
+    # the revisited stretch overlaps older keyframes -> culling fires
+    assert any(c for _, _, c in kfs)
+    fids = [f for f, _, _ in kfs]
+    assert fids == sorted(fids)
+    for _, pose, _ in kfs:
+        # poses stay rigid after the se(3) relaxation
+        np.testing.assert_allclose(pose[:3, :3] @ pose[:3, :3].T, np.eye(3),
+                                   atol=1e-6)
+        np.testing.assert_allclose(pose[3], [0, 0, 0, 1], atol=1e-12)
+
+
+def test_no_loop_closure_without_revisit():
+    """A one-way sweep must NOT fire the loop-closure path."""
+    rng = np.random.default_rng(3)
+    t = NativeTracker(kf_trans_th=0.05)
+    t.set_loop_params(min_kf_gap=5, radius=0.15, rot_limit=1.0,
+                      inlier_th=0.3)
+    for i in range(20):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = i * 0.025
+        gray, depth = render_plane_noisy(c2w, rng)
+        t.process_image_rgbd(gray, depth, FX, FY, CX, CY, float(i))
+    assert t.get_last_big_change_idx() == 0
+
+
 def test_tracker_keyframe_on_large_motion():
     t = NativeTracker(kf_trans_th=0.05)
     gray, depth = render_plane(np.eye(4, dtype=np.float32))
@@ -70,3 +139,114 @@ def test_tracker_keyframe_on_large_motion():
     assert t.get_last_big_change_idx() == 0  # odometry-only: no LC yet
     pose = t.get_last_trajectory_point()
     assert abs(pose[0, 3] - 0.09) < 0.03
+
+
+# ---- loop-closure map rebuild (WrapperORBSLAM surface) ----
+
+def test_apply_block_deltas_matches_numpy():
+    """Device block-transform + compaction vs a numpy oracle."""
+    import jax.numpy as jnp
+    from ovo_tpu.mapping.map_state import init_map_state
+    from ovo_tpu.slam.orbslam import _apply_block_deltas
+
+    rng = np.random.default_rng(0)
+    cap, n = 64, 50
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    ms = init_map_state(cap)
+    ms = ms._replace(
+        points=ms.points.at[:n].set(pts),
+        point_ids=ms.point_ids.at[:n].set(np.arange(n, dtype=np.int32)),
+        obj_ids=ms.obj_ids.at[:n].set(np.arange(n, dtype=np.int32) % 5),
+        count=jnp.asarray(n, jnp.int32))
+    # blocks [0,20), [20,35), [35,50); bp=4 with identity padding row
+    th = 0.3
+    rot = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    deltas = np.tile(np.eye(3, 4, dtype=np.float32), (4, 1, 1))
+    deltas[1, :, :3] = rot
+    deltas[1, :, 3] = [0.1, -0.2, 0.3]
+    deltas[2, :, 3] = [1.0, 2.0, 3.0]
+    starts = np.array([0, 20, 35, 50], np.int32)
+
+    # transform-only path
+    out = _apply_block_deltas(
+        jax.tree_util.tree_map(jnp.copy, ms), jnp.asarray(starts),
+        jnp.asarray(deltas), jnp.ones((4,), jnp.float32), compact=False)
+    exp = pts.copy()
+    exp[20:35] = pts[20:35] @ rot.T + deltas[1, :, 3]
+    exp[35:50] = pts[35:50] + deltas[2, :, 3]
+    np.testing.assert_allclose(np.asarray(out.points[:n]), exp, atol=1e-5)
+    assert int(out.count) == n
+
+    # compaction path: drop the middle block
+    keep = np.array([1, 0, 1, 1], np.float32)
+    out2 = _apply_block_deltas(
+        jax.tree_util.tree_map(jnp.copy, ms), jnp.asarray(starts),
+        jnp.asarray(deltas), jnp.asarray(keep), compact=True)
+    assert int(out2.count) == 35
+    exp2 = np.concatenate([exp[:20], exp[35:50]])
+    np.testing.assert_allclose(np.asarray(out2.points[:35]), exp2, atol=1e-5)
+    exp_ids = np.concatenate([np.arange(20), np.arange(35, 50)])
+    np.testing.assert_array_equal(np.asarray(out2.point_ids[:35]), exp_ids)
+    np.testing.assert_array_equal(np.asarray(out2.obj_ids[:35]), exp_ids % 5)
+
+
+def render_rgbd_frame(c2w, rng):
+    gray, depth = render_plane_noisy(c2w, rng)
+    g8 = np.clip(gray * 255.0, 0, 255).astype(np.uint8)
+    image = np.stack([g8, g8, g8], axis=-1)
+    return image, depth
+
+
+def test_wrapper_orbslam_loop_rebuild():
+    """End-to-end: a drifted out-and-back run through WrapperORBSLAM fires
+    the big-change poll, re-transforms keyframe blocks on device, drops
+    culled keyframes' blocks, and leaves a consistent block layout
+    (reference orbslam.py:62-115)."""
+    from ovo_tpu.slam.orbslam import WrapperORBSLAM
+
+    rng = np.random.default_rng(7)
+    config = {
+        "mapping": {"n_points_capacity": 1 << 15, "downscale_res": 2,
+                    "initial_capacity": 1 << 15},
+        "slam": {"kf_trans_th": 0.05},
+    }
+    K = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], np.float32)
+    m = WrapperORBSLAM(config, K)
+    m.tracker.set_loop_params(min_kf_gap=5, radius=0.15, rot_limit=1.0,
+                              inlier_th=0.3)
+    out, step = 20, 0.025
+    xs = [0.0] + [i * step for i in range(1, out + 1)] \
+        + [(out - i) * step for i in range(1, out + 1)]
+    for i, x in enumerate(xs):
+        c2w_gt = np.eye(4, dtype=np.float32)
+        c2w_gt[0, 3] = x
+        image, depth = render_rgbd_frame(c2w_gt, rng)
+        frame_data = [i, image, depth, c2w_gt]
+        m.track_camera(frame_data)
+        c2w = m.get_c2w(i)
+        if c2w is not None:
+            m.map(frame_data, c2w)
+    assert m.last_big_change >= 1, "big change never propagated"
+    assert m.map_updated
+    # culled keyframes' blocks are gone from both the block table and kfs
+    culled = {int(round(f)) for f, _, c in m.tracker.get_keyframes() if c}
+    assert culled, "no keyframes were culled"
+    assert not (culled & set(m.kf_blocks)), "culled block survived"
+    assert not (culled & set(m.kfs)), "culled kf survived in kfs"
+    # block layout stays a disjoint ascending partition of [0, count)
+    n = int(m.state.count)
+    prev_end = 0
+    for fid, blk in m.kf_blocks.items():
+        s, e = blk["range"]
+        assert s == prev_end, (fid, s, prev_end)
+        prev_end = e
+    assert prev_end == n, (prev_end, n)
+    # surviving keyframe poses match the tracker's corrected store
+    tracker_pose = {int(round(f)): p for f, p, c in m.tracker.get_keyframes()
+                    if not c}
+    for fid in m.kf_blocks:
+        if fid in tracker_pose:
+            np.testing.assert_allclose(
+                m.estimated_c2ws[fid], m.world_ref @ tracker_pose[fid],
+                atol=1e-5)
