@@ -132,6 +132,65 @@ class KeyframeMatch(NamedTuple):
     n_dropped_masks: Array  # () i32 masks lost to instance-capacity overflow
 
 
+def mask_level_tail(store: InstanceStore, ins_of_mask: Array, n_new: Array,
+                    dropped: Array, unassigned_cnt: Array, seg_map: Array,
+                    binary_maps: Array, kf_id: Array, n_matched: Array, *,
+                    unbounded_top_k: bool = True
+                    ) -> Tuple[InstanceStore, KeyframeMatch]:
+    """The mask-level (M-sized) half of association shared by the
+    single-chip program and the point-sharded path (ovo.py:284-324):
+    instance minting, per-instance mask OR-fusion, area bookkeeping, top-k
+    keyframe update, and the KeyframeMatch assembly. Point-sized work never
+    enters here, so the point-sharded path can run it replicated."""
+    M = binary_maps.shape[0]
+    store = inst.mint_instances(store, n_new)
+
+    has_ins = ins_of_mask >= 0
+    same = (ins_of_mask[:, None] == ins_of_mask[None, :]) & has_ins[:, None] \
+        & has_ins[None, :]
+    first_idx = jnp.argmax(same, axis=1).astype(jnp.int32)  # min slot w/ id
+    keep_slot = has_ins & (first_idx == jnp.arange(M))
+    group_size = jnp.sum(same, axis=1)
+
+    # OR-fuse binary maps into the first slot of each group (one MXU matmul)
+    seg_dest = jnp.where(has_ins, first_idx, M)
+    flat = binary_maps.reshape(M, -1)
+    fused_flat = segment_mxu.segment_or(seg_dest, flat, M)
+    fused_maps = fused_flat.reshape(binary_maps.shape)
+
+    # areas: single mask -> seg-map area (what _track_objects used);
+    # fused group -> OR-fused binary area (what the fuse step updates to)
+    seg_flat = seg_map.reshape(-1)
+    seg_area = segment_mxu.histogram(
+        jnp.where(seg_flat >= 0, seg_flat, M), M).astype(jnp.int32)
+    fused_area = jnp.sum(fused_flat.astype(jnp.int32), axis=1)
+    areas = jnp.where(group_size > 1, fused_area, seg_area).astype(jnp.int32)
+
+    # ---- top-k keyframe update + gating ----
+    store = inst.add_top_kf(store, ins_of_mask, kf_id, areas, keep_slot)
+    if unbounded_top_k:
+        keep = keep_slot
+    else:
+        keep = keep_slot & inst.is_top_kf(store, ins_of_mask, kf_id)
+
+    # diagnostic: unassigned matched points folded into each group's slot
+    grp_unassigned = jnp.zeros((M,), jnp.int32).at[seg_dest].add(
+        unassigned_cnt, mode="drop")
+    store = inst.add_matched_points(store, ins_of_mask, grp_unassigned,
+                                    keep_slot)
+
+    out = KeyframeMatch(
+        ins_ids=jnp.where(keep, ins_of_mask, -1),
+        fused_maps=fused_maps,
+        keep=keep,
+        areas=areas,
+        n_new=n_new,
+        n_matched=n_matched,
+        n_dropped_masks=dropped,
+    )
+    return store, out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("match_distance_th", "track_th", "use_depth_filter",
@@ -220,53 +279,30 @@ def associate_keyframe(
     new_obj = jnp.where(update, point_ins, obj)
     map_state = map_state._replace(obj_ids=new_obj)
 
-    store = inst.mint_instances(store, n_new)
-
-    # ---- fuse masks sharing an instance (ovo.py:284-324) ----
-    has_ins = ins_of_mask >= 0
-    same = (ins_of_mask[:, None] == ins_of_mask[None, :]) & has_ins[:, None] \
-        & has_ins[None, :]
-    first_idx = jnp.argmax(same, axis=1).astype(jnp.int32)  # min slot w/ same id
-    keep_slot = has_ins & (first_idx == jnp.arange(M))
-    group_size = jnp.sum(same, axis=1)
-
-    # OR-fuse binary maps into the first slot of each group (one MXU matmul)
-    seg_dest = jnp.where(has_ins, first_idx, M)
-    flat = binary_maps.reshape(M, -1)
-    fused_flat = segment_mxu.segment_or(seg_dest, flat, M)
-    fused_maps = fused_flat.reshape(binary_maps.shape)
-
-    # areas: single mask -> seg-map area (what _track_objects used);
-    # fused group -> OR-fused binary area (what the fuse step updates to)
-    seg_flat = seg_map.reshape(-1)
-    seg_area = segment_mxu.histogram(
-        jnp.where(seg_flat >= 0, seg_flat, M), M).astype(jnp.int32)
-    fused_area = jnp.sum(fused_flat.astype(jnp.int32), axis=1)
-    areas = jnp.where(group_size > 1, fused_area, seg_area).astype(jnp.int32)
-
-    # ---- top-k keyframe update + gating ----
-    store = inst.add_top_kf(store, ins_of_mask, kf_id, areas, keep_slot)
-    if unbounded_top_k:
-        keep = keep_slot
-    else:
-        keep = keep_slot & inst.is_top_kf(store, ins_of_mask, kf_id)
-
-    # diagnostic: unassigned matched points folded into each group's slot
-    grp_unassigned = jnp.zeros((M,), jnp.int32).at[seg_dest].add(
-        unassigned_cnt, mode="drop")
-    store = inst.add_matched_points(store, ins_of_mask, grp_unassigned,
-                                    keep_slot)
-
-    out = KeyframeMatch(
-        ins_ids=jnp.where(keep, ins_of_mask, -1),
-        fused_maps=fused_maps,
-        keep=keep,
-        areas=areas,
-        n_new=n_new,
-        n_matched=jnp.sum(matched.astype(jnp.int32)),
-        n_dropped_masks=dropped,
-    )
+    # ---- mask-level tail: mint + fuse + areas + top-k (ovo.py:284-324) ----
+    store, out = mask_level_tail(
+        store, ins_of_mask, n_new, dropped, unassigned_cnt, seg_map,
+        binary_maps, kf_id, jnp.sum(matched.astype(jnp.int32)),
+        unbounded_top_k=unbounded_top_k)
     return map_state, store, out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("unbounded_top_k",), donate_argnums=(0,))
+def mask_tail_program(store: InstanceStore, ins_of_mask: Array, n_new: Array,
+                      dropped: Array, unassigned_cnt: Array, seg_map: Array,
+                      binary_maps: Array, kf_id: Array, n_matched: Array, *,
+                      unbounded_top_k: bool = True
+                      ) -> Tuple[InstanceStore, KeyframeMatch]:
+    """Standalone jitted mask_level_tail for the point-sharded association
+    path (parallel/shard.py), which runs the point-sized half under
+    shard_map and this replicated half separately.
+
+    DONATION CONTRACT: ``store`` is donated (consumed); see
+    associate_keyframe."""
+    return mask_level_tail(store, ins_of_mask, n_new, dropped, unassigned_cnt,
+                           seg_map, binary_maps, kf_id, n_matched,
+                           unbounded_top_k=unbounded_top_k)
 
 
 @functools.partial(
@@ -369,33 +405,10 @@ def associate_and_insert_keyframe(
     update = (~assigned) & (point_ins >= 0)
     new_obj = jnp.where(update, point_ins, obj)
     map_state = map_state._replace(obj_ids=new_obj)
-    store = inst.mint_instances(store, n_new)
-
-    has_ins = ins_of_mask >= 0
-    same = (ins_of_mask[:, None] == ins_of_mask[None, :]) & has_ins[:, None] \
-        & has_ins[None, :]
-    first_idx = jnp.argmax(same, axis=1).astype(jnp.int32)
-    keep_slot = has_ins & (first_idx == jnp.arange(M))
-    group_size = jnp.sum(same, axis=1)
-
-    seg_dest = jnp.where(has_ins, first_idx, M)
-    flat = binary_maps.reshape(M, -1)
-    fused_flat = segment_mxu.segment_or(seg_dest, flat, M)  # one MXU matmul
-    fused_maps = fused_flat.reshape(binary_maps.shape)
-
-    seg_flat = seg_map.reshape(-1)
-    seg_area = segment_mxu.histogram(
-        jnp.where(seg_flat >= 0, seg_flat, M), M).astype(jnp.int32)
-    fused_area = jnp.sum(fused_flat.astype(jnp.int32), axis=1)
-    areas = jnp.where(group_size > 1, fused_area, seg_area).astype(jnp.int32)
-
-    store = inst.add_top_kf(store, ins_of_mask, kf_id, areas, keep_slot)
-    keep = keep_slot if unbounded_top_k else \
-        keep_slot & inst.is_top_kf(store, ins_of_mask, kf_id)
-    grp_unassigned = jnp.zeros((M,), jnp.int32).at[seg_dest].add(
-        unassigned_cnt, mode="drop")
-    store = inst.add_matched_points(store, ins_of_mask, grp_unassigned,
-                                    keep_slot)
+    store, out = mask_level_tail(
+        store, ins_of_mask, n_new, dropped, unassigned_cnt, seg_map,
+        binary_maps, kf_id, jnp.sum(matched.astype(jnp.int32)),
+        unbounded_top_k=unbounded_top_k)
 
     # ---- map insert (map_state.map_insert_frame semantics, reusing the
     # shared match) ----
@@ -426,14 +439,4 @@ def associate_and_insert_keyframe(
     map_state = _scatter_append(map_state, new_pts,
                                 image_ds.reshape(-1, 3),
                                 ins_mask.reshape(-1))
-
-    out = KeyframeMatch(
-        ins_ids=jnp.where(keep, ins_of_mask, -1),
-        fused_maps=fused_maps,
-        keep=keep,
-        areas=areas,
-        n_new=n_new,
-        n_matched=jnp.sum(matched.astype(jnp.int32)),
-        n_dropped_masks=dropped,
-    )
     return map_state, store, out

@@ -99,6 +99,27 @@ class SemanticMapper:
         self.sam_batch = int(sam_cfg.get("batch", 1))
         self._pending: List[tuple] = []   # (frame_id, image, depth, ratio, c2w)
 
+        # -- multi-chip gating (SURVEY 2.7 / 5.8): the map's point axis
+        # shards across the mesh for association, the text query shards the
+        # instance axis, and the batched embedder runs data-parallel over
+        # keyframes. All default OFF (single-chip); results are
+        # bit-identical either way (tests/test_parallel.py).
+        par_cfg = config.get("parallel", {}) or {}
+        self.point_shard = bool(par_cfg.get("point_shard", False))
+        self.shard_query = bool(par_cfg.get("shard_query", False))
+        self.dp_embed = bool(par_cfg.get("dp_embed", False))
+        self._mesh = None
+        self._warned_ratio = False
+
+    @property
+    def mesh(self):
+        if self._mesh is None:
+            from ..parallel.mesh import make_mesh
+            import jax as _jax
+            n = len(_jax.devices())
+            self._mesh = make_mesh(shape=(n, 1))  # all devices on dp
+        return self._mesh
+
     # ------------------------------------------------------------------
     # Per-keyframe association
     # ------------------------------------------------------------------
@@ -157,13 +178,31 @@ class SemanticMapper:
         last_id = int(self.store.next_id)
         t0 = time.time()
         ratio = tuple(rgb_depth_ratio) if len(rgb_depth_ratio) else None
-        map_state, self.store, match = associate_keyframe(
-            map_state, self.store, seg_map, binary_maps, mask_valid,
-            jnp.asarray(depth, jnp.float32), jnp.asarray(c2w, jnp.float32),
-            self.cam_intrinsics, jnp.asarray(self.kf_id, jnp.int32),
-            match_distance_th=self.match_distance_th, track_th=self.track_th,
-            use_depth_filter=self.use_depth_filter,
-            unbounded_top_k=self.unbounded_top_k, rgb_depth_ratio=ratio)
+        if self.point_shard and ratio is not None and not self._warned_ratio:
+            self._warned_ratio = True
+            print("[parallel] point_shard does not support an RGB/depth "
+                  "resolution ratio yet; falling back to single-chip "
+                  "association")
+        if self.point_shard and ratio is None:
+            from ..parallel.shard import sharded_associate_keyframe
+            map_state, self.store, match = sharded_associate_keyframe(
+                self.mesh, map_state, self.store, seg_map, binary_maps,
+                mask_valid, jnp.asarray(depth, jnp.float32),
+                jnp.asarray(c2w, jnp.float32), self.cam_intrinsics,
+                jnp.asarray(self.kf_id, jnp.int32),
+                match_distance_th=self.match_distance_th,
+                track_th=self.track_th,
+                use_depth_filter=self.use_depth_filter,
+                unbounded_top_k=self.unbounded_top_k)
+        else:
+            map_state, self.store, match = associate_keyframe(
+                map_state, self.store, seg_map, binary_maps, mask_valid,
+                jnp.asarray(depth, jnp.float32), jnp.asarray(c2w, jnp.float32),
+                self.cam_intrinsics, jnp.asarray(self.kf_id, jnp.int32),
+                match_distance_th=self.match_distance_th,
+                track_th=self.track_th,
+                use_depth_filter=self.use_depth_filter,
+                unbounded_top_k=self.unbounded_top_k, rgb_depth_ratio=ratio)
 
         self.keyframes_queue.append(
             dict(ins_ids=match.ins_ids, keep=match.keep,
@@ -225,10 +264,14 @@ class SemanticMapper:
                      and hasattr(self.embedder, "embed_masks_batch")
                      and all(any_keep))
         if use_batch:
-            descs_list = self.embedder.embed_masks_batch(
-                np.stack([kf["image"] for kf in kfs]),
-                jnp.stack([kf["fused_maps"] for kf in kfs]),
-                jnp.stack(keeps))
+            imgs = np.stack([kf["image"] for kf in kfs])
+            maps = jnp.stack([kf["fused_maps"] for kf in kfs])
+            keepb = jnp.stack(keeps)
+            if self.dp_embed:
+                descs_list = self._dp_embed_batch(imgs, maps, keepb)
+            else:
+                descs_list = self.embedder.embed_masks_batch(imgs, maps,
+                                                             keepb)
         else:
             descs_list = [
                 self.embedder.embed_masks(kf["image"], kf["fused_maps"], k)
@@ -254,6 +297,26 @@ class SemanticMapper:
                 "t_clip": round(t_clip, 2),
                 "t_up": round(t_up, 3),
             }, print_output=True)
+
+    def _dp_embed_batch(self, imgs, maps, keepb):
+        """Data-parallel keyframe embedding: the batch axis shards over the
+        mesh's dp axis (GSPMD partitions the one vmapped embedder program;
+        params stay replicated). Pads the batch to the mesh size."""
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        b = imgs.shape[0]
+        n_dev = self.mesh.shape["dp"]
+        pad = (-b) % n_dev
+        if pad:
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+            maps = jnp.concatenate([maps, jnp.repeat(maps[-1:], pad, 0)])
+            keepb = jnp.concatenate([keepb, jnp.repeat(keepb[-1:], pad, 0)])
+        sh = NamedSharding(self.mesh, P("dp"))
+        descs = self.embedder.embed_masks_batch(
+            _jax.device_put(jnp.asarray(imgs), sh),
+            _jax.device_put(maps, sh), _jax.device_put(keepb, sh))
+        return descs[:b]
 
     # ------------------------------------------------------------------
     # Loop closure
@@ -363,6 +426,10 @@ class SemanticMapper:
             mean = np.asarray(embeds).mean(0)
             txt.append(mean / max(np.linalg.norm(mean), 1e-12))
         txt = jnp.asarray(np.stack(txt), jnp.float32)
+        if self.shard_query:
+            from ..parallel.shard import sharded_similarity
+            return np.asarray(sharded_similarity(
+                self.mesh, self.embedder.similarity, txt, obj_clips))
         return np.asarray(self.embedder.similarity(txt, obj_clips))
 
     def classify_instances(self, classes: Sequence[str],

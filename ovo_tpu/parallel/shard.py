@@ -51,7 +51,8 @@ def _local_votes(points, obj_ids, valid, seg_map, mask_valid, depth, c2w,
                          jnp.clip(obj_ids, 0, Kcap - 1), Kcap)
     votes_full = _vote_matmul(seg_row, vote_col, M, Kcap, vary_axis=axis)
     votes_full = jax.lax.psum(votes_full, axis)  # ONE collective over ICI
-    return votes_full, seg
+    n_matched = jax.lax.psum(jnp.sum(matched.astype(jnp.int32)), axis)
+    return votes_full, seg, n_matched
 
 
 @functools.partial(
@@ -75,7 +76,7 @@ def sharded_vote_step(mesh: Mesh, points: Array, obj_ids: Array, valid: Array,
     M, Kcap = n_masks, n_instances
 
     def local(points, obj_ids, valid, seg_map, depth, c2w, Kmat):
-        votes_full, seg = _local_votes(
+        votes_full, seg, _ = _local_votes(
             points, obj_ids, valid, seg_map, None, depth, c2w, Kmat,
             axis=axis, match_distance_th=match_distance_th, M=M, Kcap=Kcap)
         total = votes_full[:M].sum(axis=1).astype(jnp.int32)
@@ -114,33 +115,103 @@ def sharded_associate_step(mesh: Mesh, points: Array, obj_ids: Array,
     points locally. Nothing but the (M, K) vote matrix ever crosses chips.
 
     Returns (new_obj_ids sharded over ``axis``, ins_of_mask (M,) replicated,
-    n_new () replicated). Decision math matches associate_keyframe exactly
-    (same track_th gating, capacity clipping, tie-breaks).
+    n_new, n_dropped, unassigned_cnt (M,), n_matched -- all replicated).
+    Decision math matches associate_keyframe exactly (same track_th gating,
+    capacity clipping, tie-breaks).
     """
     M, Kcap = n_masks, n_instances
 
     def local(points, obj_ids, valid, seg_map, mask_valid, depth, c2w,
               Kmat, next_id):
-        votes_full, seg = _local_votes(
+        votes_full, seg, n_matched = _local_votes(
             points, obj_ids, valid, seg_map, mask_valid, depth, c2w, Kmat,
             axis=axis, match_distance_th=match_distance_th, M=M, Kcap=Kcap)
         # identical (replicated) decisions on every shard: the SAME helper
         # the single-chip associate_keyframe uses -- the decision math
         # cannot drift between the two paths
-        ins_of_mask, n_new, _, _ = mask_decisions(
+        ins_of_mask, n_new, dropped, unassigned_cnt = mask_decisions(
             votes_full, mask_valid, next_id, track_th, M, Kcap)
 
         # local relabel of this shard's points
         new_obj = apply_mask_decisions(obj_ids, seg, ins_of_mask)
-        return new_obj, ins_of_mask, n_new
+        return new_obj, ins_of_mask, n_new, dropped, unassigned_cnt, n_matched
 
     spec_pt = P(axis)
     rep = P()
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(spec_pt, spec_pt, spec_pt, rep, rep, rep, rep, rep, rep),
-        out_specs=(spec_pt, rep, rep),
+        out_specs=(spec_pt, rep, rep, rep, rep, rep),
     )(points, obj_ids, valid, seg_map, mask_valid, depth, c2w, K, next_id)
+
+
+def sharded_associate_keyframe(mesh: Mesh, map_state, store, seg_map: Array,
+                               binary_maps: Array, mask_valid: Array,
+                               depth: Array, c2w: Array, K: Array,
+                               kf_id: Array, *, axis: str = "dp",
+                               match_distance_th: float = 0.05,
+                               track_th: int = 100,
+                               use_depth_filter: bool = True,
+                               unbounded_top_k: bool = True):
+    """Drop-in point-sharded equivalent of association.associate_keyframe
+    (same inputs minus rgb_depth_ratio, same (map_state, store,
+    KeyframeMatch) outputs, bit-identical results): the point-sized half
+    runs under shard_map with ONE psum'd vote matrix, the mask-sized tail
+    (mint/fuse/areas/top-k) runs replicated through the SAME
+    mask_level_tail the single-chip program uses.
+
+    The map buffers stay sharded over ``axis`` across calls (shard_map
+    reshards on entry if needed; steady-state keyframes pay no resharding).
+    Unlike the single-chip program this wrapper does NOT donate
+    ``map_state`` (only obj_ids is rewritten); ``store`` IS donated into
+    the tail program -- treat both as consumed for a uniform contract.
+    """
+    from ..mapping.association import mask_tail_program
+
+    M = binary_maps.shape[0]
+    depth_m = _filtered_depth(depth) if use_depth_filter else depth
+    new_obj, ins_of_mask, n_new, dropped, unassigned_cnt, n_matched = \
+        sharded_associate_step(
+            mesh, map_state.points, map_state.obj_ids,
+            map_state.valid_mask(), seg_map, mask_valid, depth_m, c2w, K,
+            store.next_id, axis=axis, match_distance_th=match_distance_th,
+            track_th=track_th, n_masks=M, n_instances=store.capacity)
+    map_state = map_state._replace(obj_ids=new_obj)
+    store, match = mask_tail_program(
+        store, ins_of_mask, n_new, dropped, unassigned_cnt, seg_map,
+        binary_maps, kf_id, n_matched, unbounded_top_k=unbounded_top_k)
+    return map_state, store, match
+
+
+@jax.jit
+def _filtered_depth(depth: Array) -> Array:
+    from .. import geometry as _geo
+    return _geo.depth_filter(depth)
+
+
+def sharded_similarity(mesh: Mesh, sim_fn, txt_embeds: Array,
+                       ins_descs: Array, axis: str = "dp") -> Array:
+    """Instance-axis-sharded text-query similarity: each shard computes its
+    instances' (n_local, Q) block with the embedder's OWN similarity math
+    (``sim_fn(txt, descs)`` -- cosine or siglip logit); the output stays
+    instance-sharded and XLA inserts ONE all-gather over ICI when a
+    replicated consumer (argmax / host fetch) reads it. N is padded to the
+    mesh size; the row-wise math makes the result bit-identical to the
+    replicated call."""
+    n, d = ins_descs.shape
+    n_dev = mesh.shape[axis]
+    pad = (-n) % n_dev
+    if pad:
+        ins_descs = jnp.concatenate(
+            [ins_descs, jnp.zeros((pad, d), ins_descs.dtype)])
+
+    def local(txt, descs):
+        return sim_fn(txt, descs)  # (n_local, Q), row-wise
+
+    out = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis)))(
+            txt_embeds, ins_descs)
+    return out[:n]
 
 
 def apply_mask_decisions(obj_ids: Array, seg: Array, ins_of_mask: Array
