@@ -161,6 +161,16 @@ MODEL_REGISTRY["tiny-test"] = CLIPModelConfig(
     text=TextConfig(vocab_size=1024, context_length=16, width=64, depth=2,
                     n_heads=4, embed_dim=32, causal=True, pool="argmax"),
     clip_dim=32)
+# PE-Core structure at test scale (RoPE-2D + cls + abs-pos + probe pool,
+# f32): the torch-oracle parity suite runs the FULL tower on this card
+MODEL_REGISTRY["tiny-pe"] = CLIPModelConfig(
+    name="tiny-pe",
+    vision=ViTConfig(image_size=64, patch_size=16, width=64, depth=3,
+                     n_heads=4, embed_dim=32, use_cls_token=True,
+                     use_abs_pos=True, use_rope2d=True, pool="attn"),
+    text=TextConfig(vocab_size=1024, context_length=16, width=64, depth=3,
+                    n_heads=4, embed_dim=32, causal=True, pool="argmax"),
+    clip_dim=32)
 
 
 class CLIPModel:

@@ -104,15 +104,9 @@ def torch_block(blk, x, din, dout, heads, ws, do_pool):
     return x + m
 
 
-def test_hiera_forward_matches_torch_oracle(rng):
-    cfg = HIERA_CONFIGS["hiera_test"]
-    params = init_hiera(jax.random.PRNGKey(7), cfg)
-    S = 64  # input image size -> 16x16 token grid after the stride-4 patch
-    img = rng.standard_normal((1, S, S, 3)).astype(np.float32)
-
-    outs = hiera_forward(params, cfg, jnp.asarray(img))
-
-    # torch oracle: patch conv + pos embeds + every block
+def torch_hiera_forward(params, cfg, img):
+    """Full trunk oracle: patch conv + pos embeds + every block; returns the
+    per-stage outputs (also used by scripts/validate_conversion.py)."""
     x = F.conv2d(t64(img).permute(0, 3, 1, 2),
                  t64(params["patch"]["w"]).permute(3, 2, 0, 1),
                  t64(params["patch"]["b"]), stride=4, padding=3)
@@ -133,6 +127,17 @@ def test_hiera_forward_matches_torch_oracle(rng):
         x = torch_block(blk, x, din, dout, heads, ws, do_pool)
         if i in cfg.stage_ends:
             torch_outs.append(x)
+    return torch_outs
+
+
+def test_hiera_forward_matches_torch_oracle(rng):
+    cfg = HIERA_CONFIGS["hiera_test"]
+    params = init_hiera(jax.random.PRNGKey(7), cfg)
+    S = 64  # input image size -> 16x16 token grid after the stride-4 patch
+    img = rng.standard_normal((1, S, S, 3)).astype(np.float32)
+
+    outs = hiera_forward(params, cfg, jnp.asarray(img))
+    torch_outs = torch_hiera_forward(params, cfg, img)
 
     assert len(outs) == len(torch_outs)
     for got, ref in zip(outs, torch_outs):

@@ -217,3 +217,137 @@ def test_pipeline_restore_map_resume(tmp_path):
         np.asarray(a.ovo.store.active), np.asarray(b2.ovo.store.active))
     assert int(a.slam_backbone.get_map().count) == \
         int(b2.slam_backbone.get_map().count)
+
+
+def test_pipeline_e2e_miou_matches_oracle_pipeline(pipeline_run):
+    """Recorded-fixture end-to-end parity (VERDICT round-1 #2b): the same
+    frames, masks, and recorded descriptors run through a fully independent
+    numpy/torch ORACLE pipeline -- sequential vanilla map insert, the
+    OracleTracker association (torch.mode majority votes), avg descriptor
+    fusion, cosine classification, brute-force knn label transfer, and an
+    independent confusion matrix. Its mIoU must match the device pipeline's
+    on the same GT mesh."""
+    from oracle_reference import OracleTracker, oracle_frustum_mask, \
+        oracle_match_points
+    from ovo_tpu.data.masks import pad_masks
+    from synthetic_scene import CLASSES, SyntheticWallDataset, \
+        class_embeddings, mask_label_fn, synthetic_mask_fn
+
+    sem_map, out, ds_used = pipeline_run
+    embeds = class_embeddings(16)
+
+    # ---- oracle pipeline over the same fixture frames ----
+    ds = SyntheticWallDataset(n_frames=12)
+    pts = np.zeros((0, 3), np.float32)
+    obj = np.zeros((0,), np.int32)
+    tracker = OracleTracker(track_th=40, n_top=10000)
+    desc_sum = {}
+    desc_cnt = {}
+    kf_id = 0
+    for fid in range(len(ds)):
+        frame_id, image, depth, c2w = ds[fid]
+        c2w = np.asarray(c2w, np.float64)
+        K = np.asarray(ds.K, np.float64)
+
+        if fid % 2 == 0:  # map_every: vanilla insert (k_pooling=1, ds=1)
+            mask = depth > 0
+            if len(pts):
+                frustum = oracle_frustum_mask(depth, c2w, K, pts)
+                okm, uc, vc = oracle_match_points(
+                    depth, np.linalg.inv(c2w), pts, K, 0.03,
+                    frustum=frustum)
+                hits = np.zeros(depth.shape, bool)
+                hits[vc[okm], uc[okm]] = True
+                mask = mask & ~hits
+            vv, uu = np.nonzero(mask)
+            z = depth[vv, uu]
+            x = (uu - K[0, 2]) * z / K[0, 0]
+            y = (vv - K[1, 2]) * z / K[1, 1]
+            cam = np.stack([x, y, z], 1)
+            new = cam @ c2w[:3, :3].T + c2w[:3, 3]
+            pts = np.concatenate([pts, new.astype(np.float32)])
+            obj = np.concatenate([obj, np.full(len(new), -1, np.int32)])
+
+        if fid % 2 == 0:  # segment_every: associate + record descriptors
+            got = synthetic_mask_fn(image, fid)
+            if got is None:
+                continue
+            seg, bmaps, valid = pad_masks(got[0], got[1], 16)
+            frustum = oracle_frustum_mask(depth, c2w, K, pts)
+            ok, uc, vc = oracle_match_points(
+                depth, np.linalg.inv(c2w), pts, K, 0.05, frustum=frustum)
+            matched_idx = np.where(ok)[0]
+            mseg = seg[vc[matched_idx], uc[matched_idx]]
+            inb = (mseg >= 0) & valid[np.clip(mseg, 0, 15)]
+            obj, info = tracker.track(obj, matched_idx[inb], mseg[inb],
+                                      seg, kf_id)
+            ins_ids, fused, _ = tracker.fuse(bmaps, info, kf_id)
+            if len(ins_ids):
+                labels = mask_label_fn(image, fused,
+                                       np.ones(len(ins_ids), bool))
+                for ins, lab in zip(ins_ids, labels):
+                    desc_sum[ins] = desc_sum.get(ins, 0.0) + embeds[lab % 16]
+                    desc_cnt[ins] = desc_cnt.get(ins, 0) + 1
+            kf_id += 1
+
+    # classify: cosine argmax against the class embeddings
+    ins_sorted = sorted(desc_sum)
+    descs = np.stack([desc_sum[i] / desc_cnt[i] for i in ins_sorted])
+    descs = descs / np.maximum(
+        np.linalg.norm(descs, axis=-1, keepdims=True), 1e-12)
+    txt = embeds / np.maximum(
+        np.linalg.norm(embeds, axis=-1, keepdims=True), 1e-12)
+    cls_of_ins = {i: int(np.argmax(descs[k] @ txt.T))
+                  for k, i in enumerate(ins_sorted)}
+
+    # label transfer: brute-force knn (k=5) mode vote to the GT mesh
+    from synthetic_scene import gt_mesh
+    vtx, gt_labels = gt_mesh()
+    lab_pts = pts[obj >= 0]
+    lab_obj = obj[obj >= 0]
+    d2 = ((vtx[:, None, :] - lab_pts[None, :500, :]) ** 2).sum(-1)  # probe
+    # full brute force in chunks to bound memory
+    pred = np.zeros(len(vtx), np.int64)
+    for s in range(0, len(vtx), 512):
+        d2 = ((vtx[s:s + 512, None, :] - lab_pts[None, :, :]) ** 2).sum(-1)
+        nn = np.argpartition(d2, 5, axis=1)[:, :5]
+        votes = lab_obj[nn]
+        for r in range(votes.shape[0]):
+            vals, cnts = np.unique(votes[r], return_counts=True)
+            pred[s + r] = vals[np.argmax(cnts)]
+    pred_cls = np.array([cls_of_ins.get(int(i), -1) for i in pred])
+
+    seen = (np.abs(vtx[:, 0]) < 1.9) & (np.abs(vtx[:, 1]) < 0.9)
+    nC = len(CLASSES)
+    conf = np.zeros((nC, nC), np.int64)
+    for g, p in zip(gt_labels[seen], pred_cls[seen]):
+        if 0 <= p < nC:
+            conf[g, p] += 1
+    tp = np.diag(conf).astype(np.float64)
+    iou = tp / np.maximum(conf.sum(0) + conf.sum(1) - tp, 1)
+    oracle_miou = float(iou.mean())
+
+    # ---- the device pipeline's mIoU on the same mesh/eval recipe ----
+    from ovo_tpu.eval.transfer import match_labels_to_vtx
+    state = sem_map.slam_backbone.get_map()
+    n = int(state.count)
+    dpts = np.asarray(state.points[:n])
+    dobj = np.asarray(state.obj_ids[:n])
+    info = sem_map.ovo.classify_instances(CLASSES)
+    mesh_ins, _, _ = match_labels_to_vtx(dobj, dpts, vtx)
+    id_to_idx = {int(i): k for k, i in enumerate(info["ids"])}
+    dev_cls = info["classes"][
+        np.vectorize(lambda v: id_to_idx[int(v)])(mesh_ins)]
+    dconf = np.zeros((nC, nC), np.int64)
+    for g, p in zip(gt_labels[seen], dev_cls[seen]):
+        if 0 <= p < nC:
+            dconf[g, p] += 1
+    dtp = np.diag(dconf).astype(np.float64)
+    diou = dtp / np.maximum(dconf.sum(0) + dconf.sum(1) - dtp, 1)
+    device_miou = float(diou.mean())
+
+    print(f"[parity] device mIoU={device_miou:.4f} "
+          f"oracle mIoU={oracle_miou:.4f}")
+    assert device_miou > 0.9 and oracle_miou > 0.9
+    assert abs(device_miou - oracle_miou) < 0.02, \
+        (device_miou, oracle_miou)
