@@ -40,6 +40,9 @@ class WrapperGaussianSLAM:
             max_seeds=int(mapping.get("max_seeds", 16384)),
             dedup_radius=float(mapping.get("dedup_radius", 0.02)),
             k_per_tile=int(mapping.get("k_per_tile", 64)),
+            densify_grad_th=float(mapping.get("densify_grad_th", 0.0)),
+            densify_percent_dense=float(
+                mapping.get("densify_percent_dense", 0.01)),
         )
         self.track_iters = int(tracking.get("iterations", 60))
         self.gt_camera = bool(tracking.get("gt_camera", False))

@@ -110,19 +110,30 @@ class MapperConfig(NamedTuple):
     dedup_radius: float = 0.02
     tile: int = 16
     k_per_tile: int = 64
+    # gradient densification (0 = off, matching the reference mapper which
+    # never invokes its vendored clone/split machinery)
+    densify_grad_th: float = 0.0
+    densify_percent_dense: float = 0.01
 
 
 OPT_FIELDS = ("xyz", "f_dc", "scales_log", "quats", "opacity_logit")
 
 
-@functools.partial(jax.jit, static_argnames=("img_hw", "cfg"))
-def optimize_submap(state: GaussianState, kf_images: Array, kf_depths: Array,
-                    kf_w2cs: Array, kf_schedule: Array, K: Array, *,
-                    img_hw: Tuple[int, int], cfg: MapperConfig
-                    ) -> GaussianState:
-    """~``cfg.iters`` Adam steps of photometric+geometric refinement against
-    a window of keyframes (mapper.py:110-169). ``kf_schedule`` (iters,) i32
-    indexes into the keyframe window per iteration."""
+@functools.partial(jax.jit,
+                   static_argnames=("img_hw", "cfg", "it0", "n_iters"))
+def optimize_phase(state: GaussianState, m0, v0, grad_accum0: Array,
+                   denom0: Array, kf_images: Array, kf_depths: Array,
+                   kf_w2cs: Array, kf_schedule: Array, K: Array, *,
+                   img_hw: Tuple[int, int], cfg: MapperConfig, it0: int,
+                   n_iters: int):
+    """``n_iters`` Adam steps starting at global step ``it0`` with moments
+    carried in/out -- the phase building block that lets map_keyframe run a
+    mid-loop densify with the same optimizer trajectory (reference
+    mapper.py:110-169 loss; gaussian-splatting densification cadence).
+    Also accumulates per-gaussian positional-gradient magnitudes
+    (add_densification_stats analogue; world-space ||d loss/d xyz|| stands
+    in for the CUDA screen-space mean2D gradient -- same trigger signal, a
+    depth/focal scale factor apart)."""
     lrs = {"xyz": cfg.lr_xyz, "f_dc": cfg.lr_fdc, "scales_log": cfg.lr_scale,
            "quats": cfg.lr_quat, "opacity_logit": cfg.lr_opacity}
 
@@ -146,12 +157,13 @@ def optimize_submap(state: GaussianState, kf_images: Array, kf_depths: Array,
     grad_fn = jax.grad(loss_fn)
     b1, b2, eps = 0.9, 0.999, 1e-8
     params0 = {k: getattr(state, k) for k in OPT_FIELDS}
-    m0 = jax.tree_util.tree_map(jnp.zeros_like, params0)
-    v0 = jax.tree_util.tree_map(jnp.zeros_like, params0)
 
     def body(i, carry):
-        params, m, v = carry
+        params, m, v, ga, dn = carry
         g = grad_fn(params, kf_schedule[i])
+        gnorm = jnp.linalg.norm(g["xyz"], axis=-1)
+        ga = ga + jnp.where(state.valid, gnorm, 0.0)
+        dn = dn + (state.valid & (gnorm > 0)).astype(jnp.int32)
         step = i + 1
         corr = jnp.sqrt(1 - b2 ** step) / (1 - b1 ** step)
         new_params = {}
@@ -164,10 +176,30 @@ def optimize_submap(state: GaussianState, kf_images: Array, kf_depths: Array,
             new_params[k] = params[k] - jnp.where(mask, upd, 0.0)
             m = dict(m, **{k: mk})
             v = dict(v, **{k: vk})
-        return new_params, m, v
+        return new_params, m, v, ga, dn
 
-    params, _, _ = jax.lax.fori_loop(0, cfg.iters, body, (params0, m0, v0))
-    return state._replace(**params)
+    params, m, v, ga, dn = jax.lax.fori_loop(
+        it0, it0 + n_iters, body, (params0, m0, v0, grad_accum0, denom0))
+    return state._replace(**params), m, v, ga, dn
+
+
+@functools.partial(jax.jit, static_argnames=("img_hw", "cfg"))
+def optimize_submap(state: GaussianState, kf_images: Array, kf_depths: Array,
+                    kf_w2cs: Array, kf_schedule: Array, K: Array, *,
+                    img_hw: Tuple[int, int], cfg: MapperConfig
+                    ) -> GaussianState:
+    """~``cfg.iters`` Adam steps of photometric+geometric refinement against
+    a window of keyframes (mapper.py:110-169). ``kf_schedule`` (iters,) i32
+    indexes into the keyframe window per iteration."""
+    params0 = {k: getattr(state, k) for k in OPT_FIELDS}
+    m0 = jax.tree_util.tree_map(jnp.zeros_like, params0)
+    v0 = jax.tree_util.tree_map(jnp.zeros_like, params0)
+    ga0 = jnp.zeros((state.capacity,), jnp.float32)
+    dn0 = jnp.zeros((state.capacity,), jnp.int32)
+    out, _, _, _, _ = optimize_phase(
+        state, m0, v0, ga0, dn0, kf_images, kf_depths, kf_w2cs, kf_schedule,
+        K, img_hw=img_hw, cfg=cfg, it0=0, n_iters=cfg.iters)
+    return out
 
 
 def keyframe_sampling_schedule(iters: int, window: int, seed: int) -> "np":
@@ -202,6 +234,35 @@ def map_keyframe(state: GaussianState, image: Array, depth: Array,
     state = add_points(state, pts, cols, keep)
     window = n_live_kfs if n_live_kfs is not None else kf_images.shape[0]
     sched = jnp.asarray(keyframe_sampling_schedule(cfg.iters, window, seed))
-    state = optimize_submap(state, kf_images, kf_depths, kf_w2cs, sched, K,
-                            img_hw=img_hw, cfg=cfg)
+    if cfg.densify_grad_th <= 0:
+        state = optimize_submap(state, kf_images, kf_depths, kf_w2cs, sched,
+                                K, img_hw=img_hw, cfg=cfg)
+        return prune_by_opacity(state, cfg.prune_opacity_th)
+
+    # densify cadence: optimize half, clone/split on the accumulated
+    # positional-gradient magnitudes, zero the appended slots' Adam moments
+    # (densification_postfix analogue), optimize the remaining half
+    from .model import densify_clone_split
+
+    params0 = {k: getattr(state, k) for k in OPT_FIELDS}
+    m = jax.tree_util.tree_map(jnp.zeros_like, params0)
+    v = jax.tree_util.tree_map(jnp.zeros_like, params0)
+    ga = jnp.zeros((state.capacity,), jnp.float32)
+    dn = jnp.zeros((state.capacity,), jnp.int32)
+    half = max(cfg.iters // 2, 1)
+    state, m, v, ga, dn = optimize_phase(
+        state, m, v, ga, dn, kf_images, kf_depths, kf_w2cs, sched, K,
+        img_hw=img_hw, cfg=cfg, it0=0, n_iters=half)
+    grad_avg = ga / jnp.maximum(dn.astype(jnp.float32), 1.0)
+    state, appended = densify_clone_split(
+        state, grad_avg, jax.random.PRNGKey(seed),
+        jnp.asarray(cfg.densify_grad_th, jnp.float32),
+        jnp.asarray(cfg.densify_percent_dense, jnp.float32))
+    zero = lambda t: jnp.where(  # noqa: E731
+        appended.reshape((-1,) + (1,) * (t.ndim - 1)), 0.0, t)
+    m = jax.tree_util.tree_map(zero, m)
+    v = jax.tree_util.tree_map(zero, v)
+    state, _, _, _, _ = optimize_phase(
+        state, m, v, ga, dn, kf_images, kf_depths, kf_w2cs, sched, K,
+        img_hw=img_hw, cfg=cfg, it0=half, n_iters=cfg.iters - half)
     return prune_by_opacity(state, cfg.prune_opacity_th)

@@ -132,6 +132,108 @@ def prune_by_opacity(state: GaussianState, threshold: float,
                           obj_ids=jnp.where(drop, -1, state.obj_ids))
 
 
+@jax.jit
+def densify_clone_split(state: GaussianState, grad_avg: Array, key: Array,
+                        grad_th: Array, percent_dense: Array
+                        ) -> tuple[GaussianState, Array]:
+    """Gradient-magnitude densification (reference gaussian_model.py:
+    323-409 carries the optimizer-state-aware clone/split machinery of
+    gaussian-splatting; NOTE the reference mapper never invokes it -- this
+    implements the capability TPU-natively, config-gated).
+
+    Gaussians whose accumulated positional-gradient magnitude exceeds
+    ``grad_th`` densify:
+      - CLONE (small: max scale <= percent_dense * scene extent): an exact
+        copy appends; optimization separates the pair.
+      - SPLIT (large): the original is removed and TWO samples drawn from
+        its own N(mean, scale) append with scales / 1.6.
+    Fixed capacity: appends compact into free slots (drop on overflow), so
+    the optimizer state keeps its shape -- the caller zeroes the Adam
+    moments of ``appended`` slots (the reference concatenates zero moments
+    for new rows the same way).
+
+    Returns (new_state, appended_slot_mask (G,) bool).
+    """
+    G = state.capacity
+    scales = state.scales()
+    max_s = scales.max(axis=-1)
+    # scene extent: bounding-sphere radius of the live gaussians
+    vn = jnp.maximum(state.valid.sum(), 1)
+    centroid = (state.xyz * state.valid[:, None]).sum(0) / vn
+    extent = jnp.sqrt(jnp.where(
+        state.valid, ((state.xyz - centroid) ** 2).sum(-1), 0.0).max())
+
+    sel = state.valid & (grad_avg > grad_th)
+    is_split = sel & (max_s > percent_dense * jnp.maximum(extent, 1e-6))
+    is_clone = sel & ~is_split
+
+    # split samples from each gaussian's own distribution, in world frame
+    w, x, y, z = (state.quats[:, 0], state.quats[:, 1], state.quats[:, 2],
+                  state.quats[:, 3])
+    rot = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)], -1),
+    ], -2)                                                   # (G, 3, 3)
+    eps = jax.random.normal(key, (2, G, 3))
+    samp = jnp.einsum("gij,sgj->sgi", rot, eps * scales) + state.xyz
+    split_scales = state.scales_log - jnp.log(1.6)           # / (0.8 * 2)
+
+    # candidate row set 1: clone copy OR split sample 1 (exclusive masks)
+    cand1_mask = sel
+    cand1_xyz = jnp.where(is_split[:, None], samp[0], state.xyz)
+    cand1_scl = jnp.where(is_split[:, None], split_scales, state.scales_log)
+    # candidate row set 2: split sample 2
+    cand2_mask = is_split
+
+    # free slots AFTER removing split originals
+    valid2 = state.valid & ~is_split
+    free = ~valid2
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    slot_of_rank = jnp.full((G,), G, jnp.int32).at[
+        jnp.where(free, free_rank, G)].set(
+        jnp.arange(G, dtype=jnp.int32), mode="drop")
+
+    n1 = cand1_mask.astype(jnp.int32).sum()
+    rank1 = jnp.cumsum(cand1_mask.astype(jnp.int32)) - 1
+    rank2 = n1 + jnp.cumsum(cand2_mask.astype(jnp.int32)) - 1
+    dest1 = slot_of_rank.at[jnp.where(cand1_mask, rank1, G)].get(
+        mode="fill", fill_value=G)
+    dest2 = slot_of_rank.at[jnp.where(cand2_mask, rank2, G)].get(
+        mode="fill", fill_value=G)
+    n_new = n1 + cand2_mask.astype(jnp.int32).sum()
+    ids1 = (state.next_id + rank1).astype(jnp.int32)
+    ids2 = (state.next_id + rank2).astype(jnp.int32)
+
+    def put(buf, vals1, vals2):
+        out = buf.at[dest1].set(vals1, mode="drop")
+        return out.at[dest2].set(vals2, mode="drop")
+
+    st = state
+    new_valid = valid2.at[dest1].set(True, mode="drop").at[dest2].set(
+        True, mode="drop")
+    out = GaussianState(
+        xyz=put(st.xyz, cand1_xyz, samp[1]),
+        f_dc=put(st.f_dc, st.f_dc, st.f_dc),
+        scales_log=put(st.scales_log, cand1_scl, split_scales),
+        quats=put(st.quats, st.quats, st.quats),
+        opacity_logit=put(st.opacity_logit, st.opacity_logit,
+                          st.opacity_logit),
+        ids=put(st.ids, ids1, ids2),
+        obj_ids=put(st.obj_ids, st.obj_ids, st.obj_ids),  # semantics ride
+        valid=new_valid,
+        next_id=(st.next_id + n_new).astype(jnp.int32),
+    )
+    appended = jnp.zeros((G,), bool).at[dest1].set(True, mode="drop") \
+        .at[dest2].set(True, mode="drop")
+    # slots of removed split originals also carry stale moments
+    appended = appended | (state.valid & ~valid2)
+    return out, appended
+
+
 def n_valid(state: GaussianState) -> int:
     return int(state.valid.sum())
 

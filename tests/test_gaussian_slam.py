@@ -232,3 +232,92 @@ def test_gaussian_backbone_in_pipeline(tmp_path):
     assert "f_dc" in ckpt["map_params"]
     sem_map.slam_backbone.set_map_dict(ckpt["map_params"])
     assert n_valid(sem_map.slam_backbone.state) == int(state.count)
+
+
+# ---------------------------------------------------------- densification --
+def test_densify_clone_split_semantics():
+    """Clone appends an exact copy of small high-gradient gaussians; split
+    removes large ones and appends two samples with scales/1.6; low-gradient
+    gaussians are untouched; obj_ids ride along (gaussian-splatting
+    clone/split semantics, reference gaussian_model.py:323-409 machinery)."""
+    import jax
+    from ovo_tpu.slam.gaussian.model import densify_clone_split
+
+    state = init_gaussian_state(32)
+    pts = np.array([[0, 0, 2.0], [1, 0, 2.0], [0, 1, 2.0], [4, 4, 4.0]],
+                   np.float32)
+    cols = np.full((4, 3), 0.5, np.float32)
+    state = add_points(state, jnp.asarray(pts), jnp.asarray(cols),
+                       jnp.ones(4, bool))
+    # gaussian 1 big (split), gaussian 2 small (clone), others quiet
+    state = state._replace(
+        scales_log=state.scales_log.at[1].set(np.log(2.0)).at[2].set(
+            np.log(1e-3)),
+        obj_ids=state.obj_ids.at[1].set(7).at[2].set(9))
+    grad = jnp.zeros(32).at[1].set(1.0).at[2].set(1.0)
+    out, appended = densify_clone_split(
+        state, grad, jax.random.PRNGKey(0), jnp.asarray(0.5),
+        jnp.asarray(0.01))
+    assert n_valid(out) == 4 - 1 + 1 + 2  # split removes 1, adds 2; clone +1
+    v = np.asarray(out.valid)
+    # the split original's slot was freed (possibly reused by an append)
+    assert not (v[1] and np.allclose(np.asarray(out.xyz[1]), pts[1])
+                and int(out.ids[1]) == int(state.ids[1]))
+    app = np.asarray(appended)
+    assert app.sum() >= 3
+    # clone: an appended row identical to gaussian 2, obj_id preserved
+    new_rows = np.where(v & app)[0]
+    xyz = np.asarray(out.xyz)
+    clone_rows = [r for r in new_rows
+                  if np.allclose(xyz[r], pts[2], atol=1e-6)]
+    assert len(clone_rows) == 1
+    assert int(out.obj_ids[clone_rows[0]]) == 9
+    # split samples: near gaussian 1, scales reduced by 1.6, obj_id kept
+    split_rows = [r for r in new_rows if r not in clone_rows]
+    assert len(split_rows) == 2
+    for r in split_rows:
+        assert np.linalg.norm(xyz[r] - pts[1]) < 8.0  # within a few sigma
+        np.testing.assert_allclose(np.asarray(out.scales_log[r]),
+                                   np.log(2.0) - np.log(1.6), atol=1e-6)
+        assert int(out.obj_ids[r]) == 7
+    # untouched gaussians keep everything
+    np.testing.assert_allclose(xyz[0], pts[0])
+    np.testing.assert_allclose(xyz[3], pts[3])
+
+
+def test_densify_improves_reconstruction():
+    """With a deliberately sparse seed budget, the densify path must trigger
+    (gaussian count grows) and improve PSNR over the no-densify run."""
+    rng = np.random.default_rng(5)
+    H, W = IMG_HW
+    depth = np.full((H, W), 2.0, np.float32)
+    # high-frequency texture: thin structure the sparse seeds blur over
+    v, u = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    image = np.stack([0.5 + 0.45 * np.sin(u * 0.9),
+                      0.5 + 0.45 * np.cos(v * 0.7),
+                      np.full((H, W), 0.5)], -1).astype(np.float32)
+    w2c = jnp.asarray(np.eye(4, dtype=np.float32))
+    kf_i = jnp.asarray(image[None])
+    kf_d = jnp.asarray(depth[None])
+    kf_w = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+
+    def run(densify_th):
+        cfg = MapperConfig(iters=120, max_seeds=128, k_per_tile=32,
+                           prune_opacity_th=0.0, densify_grad_th=densify_th,
+                           densify_percent_dense=0.05)
+        state = init_gaussian_state(4096)
+        state = map_keyframe(state, jnp.asarray(image), jnp.asarray(depth),
+                             w2c, jnp.asarray(K), kf_i, kf_d, kf_w,
+                             is_new_submap=True, seed=3, img_hw=IMG_HW,
+                             cfg=cfg)
+        out = render_gaussians(state.xyz, state.scales(), state.quats,
+                               state.opacity(), state.colors(), state.valid,
+                               w2c, jnp.asarray(K), img_hw=IMG_HW,
+                               k_per_tile=32)
+        mse = float(((np.asarray(out.color) - image) ** 2).mean())
+        return n_valid(state), -10.0 * np.log10(max(mse, 1e-12))
+
+    n_off, psnr_off = run(0.0)
+    n_on, psnr_on = run(3e-4)
+    assert n_on > n_off, "densify never triggered"
+    assert psnr_on > psnr_off, (psnr_on, psnr_off)
