@@ -268,10 +268,174 @@ class Visualizer:
             print(f"[viz] open3d unavailable; wrote PLY snapshots to "
                   f"{self.output_dir}")
             return
-        import open3d as o3d
+        app = InteractiveViewer(self, points, obj_ids, colors,
+                                output_dir=self.output_dir)
+        app.run()
 
+
+class InteractiveViewer:
+    """Open3D GUI query app over a finished run (reference
+    visualizer.py:16-399 surface): an O3DVisualizer window plus a widget
+    panel with a text query box, similarity-threshold slider,
+    instance/RGB color toggle, hide-ceiling toggle, reset button, and
+    snapshot / camera-pose persistence actions. Queries run against the
+    live SemanticMapper and recolor the cloud as a heatmap above the
+    threshold.
+
+    Only constructed when open3d is importable; `Visualizer`
+    degrades to the headless PLY exports otherwise. Manual smoke
+    instructions live in README.md (no GUI in CI)."""
+
+    def __init__(self, viz: "Visualizer", points, obj_ids, colors,
+                 output_dir: Path):
+        import open3d as o3d
+        import open3d.visualization.gui as gui
+
+        self.o3d, self.gui = o3d, gui
+        self.viz = viz
+        self.points = np.asarray(points, np.float64)
+        self.obj_ids = np.asarray(obj_ids).reshape(-1)
+        self.rgb = (np.asarray(colors, np.float64) / 255.0
+                    if colors is not None else None)
+        self.inst_rgb = instance_colors(self.obj_ids).astype(np.float64) / 255
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.th = 0.5
+        self.query = ""
+        self.show_instances = self.rgb is None
+        self.hide_ceiling = False
+        self._query_vals = None
+        self._n_snap = 0
+        # ceiling = points above the 95th height percentile (gravity -y:
+        # smallest y values in camera-up convention)
+        y = self.points[:, 1]
+        self._ceiling_mask = y < np.percentile(y, 5.0)
+
+        app = gui.Application.instance
+        app.initialize()
+        self.app = app
+        self.win = o3d.visualization.O3DVisualizer("ovo-tpu viewer",
+                                                   1280, 720)
+        self.win.add_action("Take snapshot", self._take_snapshot)
+        self.win.add_action("Save cam pose", self._save_campose)
+        self.win.add_action("Load cam pose", self._load_campose)
+        app.add_window(self.win)
+        self._build_widgets()
+        self._refresh()
+
+    # -- widget panel (reference create_widgets_window) ------------------
+    def _build_widgets(self) -> None:
+        gui = self.gui
+        w = gui.Application.instance.create_window("Query options", 420, 170)
+        em = w.theme.font_size
+        layout = gui.Vert(0, gui.Margins(*([0.5 * em] * 4)))
+
+        self._query_in = gui.TextEdit()
+        self._query_in.set_on_value_changed(self._on_query_text)
+        btn = gui.Button("Update query")
+        btn.set_on_clicked(self._on_update)
+        btn.vertical_padding_em = 0
+        row = gui.Horiz()
+        row.add_child(gui.Label("Query: "))
+        row.add_child(self._query_in)
+        row.add_fixed(0.25 * em)
+        row.add_child(btn)
+        layout.add_child(row)
+
+        sl = gui.Slider(gui.Slider.DOUBLE)
+        sl.set_limits(0.0, 1.0)
+        sl.double_value = self.th
+        sl.set_on_value_changed(self._on_th)
+        row2 = gui.Horiz()
+        row2.add_child(gui.Label("Similarity th: "))
+        row2.add_child(sl)
+        layout.add_child(row2)
+
+        cb = gui.Checkbox("Show object instances")
+        cb.checked = self.show_instances
+        cb.set_on_checked(self._on_instances)
+        layout.add_child(cb)
+
+        cbc = gui.Checkbox("Hide ceiling")
+        cbc.checked = self.hide_ceiling
+        cbc.set_on_checked(self._on_ceiling)
+        layout.add_child(cbc)
+
+        rst = gui.Button("Reset vis")
+        rst.vertical_padding_em = 0
+        rst.set_on_clicked(self._on_reset)
+        layout.add_child(rst)
+        w.add_child(layout)
+
+    # -- callbacks -------------------------------------------------------
+    def _on_query_text(self, text):
+        self.query = str(text)
+
+    def _on_th(self, value):
+        self.th = float(value)
+        self._refresh()
+
+    def _on_update(self):
+        if self.query and self.viz.ovo is not None:
+            self._query_vals = self.viz.query_values_per_point(
+                self.obj_ids, self.query)
+        self._refresh()
+
+    def _on_instances(self, checked):
+        self.show_instances = bool(checked)
+        self._refresh()
+
+    def _on_ceiling(self, checked):
+        self.hide_ceiling = bool(checked)
+        self._refresh()
+
+    def _on_reset(self):
+        self._query_vals = None
+        self._query_in.text_value = ""
+        self.query = ""
+        self._refresh()
+
+    def _take_snapshot(self, vis=None):
+        path = str(self.output_dir / f"snapshot_{self._n_snap:03d}.png")
+        self._n_snap += 1
+        self.win.export_current_image(path)
+
+    def _save_campose(self, vis=None):
+        import json
+
+        cam = self.win.scene.camera
+        mat = np.asarray(cam.get_model_matrix()).tolist()
+        with open(self.output_dir / "campose.json", "w") as f:
+            json.dump(mat, f)
+
+    def _load_campose(self, vis=None):
+        import json
+
+        p = self.output_dir / "campose.json"
+        if not p.exists():
+            return
+        mat = np.asarray(json.load(open(p)), np.float32)
+        self.win.scene.camera.set_model_matrix(mat)
+
+    # -- drawing ---------------------------------------------------------
+    def _current_colors(self) -> np.ndarray:
+        if self._query_vals is not None:
+            return heatmap_colors(self._query_vals,
+                                  self.th).astype(np.float64) / 255.0
+        if self.show_instances or self.rgb is None:
+            return self.inst_rgb
+        return self.rgb
+
+    def _refresh(self) -> None:
+        o3d = self.o3d
+        keep = (~self._ceiling_mask if self.hide_ceiling
+                else np.ones(len(self.points), bool))
         pcd = o3d.geometry.PointCloud()
-        pcd.points = o3d.utility.Vector3dVector(points.astype(np.float64))
+        pcd.points = o3d.utility.Vector3dVector(self.points[keep])
         pcd.colors = o3d.utility.Vector3dVector(
-            instance_colors(obj_ids).astype(np.float64) / 255.0)
-        o3d.visualization.draw_geometries([pcd])
+            self._current_colors()[keep])
+        self.win.remove_geometry("pcd")
+        self.win.add_geometry("pcd", pcd)
+
+    def run(self) -> None:
+        self.app.run()

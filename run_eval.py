@@ -93,6 +93,30 @@ def run_scene(scene: str, dataset: str, experiment_name: str,
         config["semantic"]["depth_filter"] = depth_filter
     if os.getenv("DISABLE_WANDB") == "true":
         config["use_wandb"] = False
+    elif config.get("use_wandb"):
+        # reference run lifecycle (run_eval.py:96-107): per-scene run with
+        # config capture, grouped by scene when an experiment name is given
+        import time as _time
+        import uuid
+
+        try:
+            import wandb
+        except ImportError:
+            print("[run_eval] use_wandb set but wandb is not installed; "
+                  "disabling")
+            config["use_wandb"] = False
+            wandb = None
+        if wandb is not None:
+            wandb.init(
+                project=config.get("project_name", "ovo-tpu"),
+                config=config,
+                dir="data/working/output/wandb",
+                group=(config["data"]["scene_name"] if experiment_name != ""
+                       else experiment_name),
+                name=(f'{config["data"]["scene_name"]}_'
+                      f'{_time.strftime("%Y%m%d_%H%M%S", _time.localtime())}_'
+                      f"{str(uuid.uuid4())[:5]}"),
+            )
 
     setup_seed(config.get("seed", 0))
     sem_map = OVOSemMap(config, output_path=output_path)
@@ -102,6 +126,11 @@ def run_scene(scene: str, dataset: str, experiment_name: str,
         final_path = Path(f"data/output/{dataset}/") / experiment_name / scene
         final_path.parent.mkdir(parents=True, exist_ok=True)
         shutil.move(str(output_path), str(final_path))
+
+    if config.get("use_wandb"):
+        import wandb
+
+        wandb.finish()  # close the per-scene run (reference :117-118)
     print("Finished run.✨")
 
 
