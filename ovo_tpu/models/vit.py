@@ -135,12 +135,49 @@ def forward_features(params: Params, cfg: ViTConfig, imgs: Array,
         hd = cfg.width // cfg.n_heads
         cos, sin = L.rope2d_freqs(grid, grid, hd, n_prefix=n_prefix)
         rope = (cos, sin)
-    for blk in params["blocks"]:
-        x = L.transformer_block(blk, x, cfg.n_heads, rope=rope,
-                                attn_impl=attn_impl, act=cfg.act)
+
+    if _use_fused_blocks(attn_impl, params):
+        # whole-block Pallas path (ops/fused_block): 2 kernels per block
+        # instead of ~15 XLA ops; tokens pad to a lane-aligned Lp and the
+        # padded keys are masked inside the kernel
+        from ..ops.fused_block import fused_transformer_block
+
+        Lr = x.shape[1]
+        Lp = -(-Lr // 128) * 128
+        if Lp != Lr:
+            x = jnp.concatenate(
+                [x, jnp.zeros((B, Lp - Lr, W), x.dtype)], axis=1)
+            if rope is not None:
+                pad = jnp.zeros((Lp - Lr, rope[0].shape[-1]),
+                                rope[0].dtype)
+                rope = (jnp.concatenate([rope[0], pad]),
+                        jnp.concatenate([rope[1], pad]))
+        for blk in params["blocks"]:
+            x = fused_transformer_block(blk, x, cfg.n_heads, rope=rope,
+                                        act=cfg.act, l_real=Lr)
+        x = x[:, :Lr]
+    else:
+        for blk in params["blocks"]:
+            x = L.transformer_block(blk, x, cfg.n_heads, rope=rope,
+                                    attn_impl=attn_impl, act=cfg.act)
     if norm:
         x = L.layer_norm(params["ln_post"], x)
     return x
+
+
+def _use_fused_blocks(attn_impl: str, params: Params) -> bool:
+    """Dispatch to the whole-block Pallas kernels: explicit
+    attn_impl='fused_block', or OVO_FUSED_BLOCK=1 on a real TPU under
+    'auto'. LayerScale blocks fall back (kernel doesn't carry ls1/ls2)."""
+    import os
+
+    if params["blocks"] and params["blocks"][0].get("ls1") is not None:
+        return False
+    if attn_impl == "fused_block":
+        return True
+    return (attn_impl == "auto"
+            and os.environ.get("OVO_FUSED_BLOCK") == "1"
+            and jax.devices()[0].platform == "tpu")
 
 
 def attn_pool(p: Params, x: Array, n_heads: int,
