@@ -64,7 +64,8 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, w_ref, b_ref, ow_ref, ob_ref,
 
     qkv = jax.lax.dot_general(
         lnx_ref[:], w_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b_ref[0].astype(jnp.float32)
+        preferred_element_type=jnp.float32) + b_ref[0, 0, :].astype(
+        jnp.float32)
     q = qkv[:, :hd]
     k = qkv[:, hd:2 * hd]
     v = qkv[:, 2 * hd:]
@@ -122,7 +123,7 @@ def fused_attn_block(x: Array, w_heads: Array, b_heads: Array,
             pl.BlockSpec((D,), lambda h: (0,)),                       # ln s
             pl.BlockSpec((D,), lambda h: (0,)),                       # ln b
             pl.BlockSpec((1, D, 3 * hd), lambda h: (h, 0, 0)),        # qkv w
-            pl.BlockSpec((1, 3 * hd), lambda h: (h, 0)),              # qkv b
+            pl.BlockSpec((1, 8, 3 * hd), lambda h: (h, 0, 0)),        # qkv b
             pl.BlockSpec((1, hd, D), lambda h: (h, 0, 0)),            # out w
             pl.BlockSpec((D,), lambda h: (0,)),                       # out b
             pl.BlockSpec((Lp, hd // 2), lambda h: (0, 0)),            # cos
@@ -159,9 +160,12 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, fcw_ref, fcb_ref, pw_ref, pb_ref,
 
     h = jax.lax.dot_general(
         lnx_ref[:], fcw_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + fcb_ref[:].astype(jnp.float32)
+        preferred_element_type=jnp.float32) + fcb_ref[0, :].astype(
+        jnp.float32)
     if act == "quick_gelu":
         h = h * jax.nn.sigmoid(1.702 * h)
+    elif x_ref.dtype == jnp.bfloat16:   # match layers.gelu dtype dispatch
+        h = jax.nn.gelu(h, approximate=True)
     else:
         h = jax.nn.gelu(h, approximate=False)
     acc_ref[:] += jax.lax.dot_general(
@@ -184,6 +188,9 @@ def fused_mlp_block(x: Array, fc_w: Array, fc_b: Array, proj_w: Array,
     chunk = min(chunk, hidden)
     assert hidden % chunk == 0, (hidden, chunk)
     grid = (hidden // chunk,)
+    # 1-D chunked bias streams hit XLA/Mosaic tiling mismatches; carry the
+    # fc bias as (8, hidden) with a replicated sublane dim
+    fc_b2 = jnp.broadcast_to(fc_b[None, :], (8, hidden))
     return pl.pallas_call(
         functools.partial(_mlp_kernel, act=act),
         out_shape=jax.ShapeDtypeStruct((Lp, D), x.dtype),
@@ -193,7 +200,7 @@ def fused_mlp_block(x: Array, fc_w: Array, fc_b: Array, proj_w: Array,
             pl.BlockSpec((D,), lambda c: (0,)),               # ln scale
             pl.BlockSpec((D,), lambda c: (0,)),               # ln bias
             pl.BlockSpec((D, chunk), lambda c: (0, c)),       # fc w chunk
-            pl.BlockSpec((chunk,), lambda c: (c,)),           # fc b chunk
+            pl.BlockSpec((8, chunk), lambda c: (0, c)),       # fc b chunk
             pl.BlockSpec((chunk, D), lambda c: (c, 0)),       # proj w chunk
             pl.BlockSpec((D,), lambda c: (0,)),               # proj b
         ],
@@ -203,7 +210,7 @@ def fused_mlp_block(x: Array, fc_w: Array, fc_b: Array, proj_w: Array,
             pltpu.VMEM((Lp, D), jnp.float32),
         ],
         interpret=interpret,
-    )(x, ln_scale, ln_bias, fc_w, fc_b, proj_w, proj_b)
+    )(x, ln_scale, ln_bias, fc_w, fc_b2, proj_w, proj_b)
 
 
 # ---------------------------------------------------------------------------
@@ -230,6 +237,9 @@ def _arrange_attn_weights(p: Dict[str, Any], n_heads: int):
     b_heads = jnp.stack([
         jnp.concatenate([qb[h * hd:(h + 1) * hd], kb[h * hd:(h + 1) * hd],
                          vb[h * hd:(h + 1) * hd]]) for h in range(n_heads)])
+    # Mosaic needs the streamed block's sublane dim divisible by 8: carry
+    # the per-head bias as (heads, 8, 3hd) with a replicated dummy sublane
+    b_heads = jnp.repeat(b_heads[:, None, :], 8, axis=1)
     ow = p["attn"]["out"]["w"]                        # (D, D)
     ow_heads = jnp.stack([ow[h * hd:(h + 1) * hd] for h in range(n_heads)])
     ob = p["attn"]["out"]["b"]
@@ -276,7 +286,7 @@ def fused_transformer_block(p: Dict[str, Any], x: Array, n_heads: int,
         use_rope=use_rope, interpret=interpret)
     mlp = functools.partial(
         fused_mlp_block, act=act,
-        chunk=min(1024, p["mlp"]["fc"]["w"].shape[1]), interpret=interpret)
+        chunk=min(512, p["mlp"]["fc"]["w"].shape[1]), interpret=interpret)
 
     def one(xi):
         h = attn(xi, w_heads.astype(dt), b_heads, ow_heads.astype(dt), ob,

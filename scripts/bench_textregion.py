@@ -30,7 +30,7 @@ def main() -> None:
     emb = TextRegionEmbedder(clip)
 
     rng = np.random.default_rng(0)
-    img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    img = jnp.asarray((rng.random((H, W, 3)) * 255).astype(np.uint8))
     masks = np.zeros((M, H, W), bool)
     for i in range(M):
         y0, x0 = (i * 37) % (H - 80), (i * 53) % (W - 80)
@@ -43,7 +43,7 @@ def main() -> None:
 
     for mode in (os.environ.get("MODES") or "xla,fused").split(","):
         os.environ["OVO_FUSED_BLOCK"] = "1" if mode == "fused" else "0"
-        _textregion_program._clear_cache()  # re-trace with the new dispatch
+        _textregion_program.clear_cache()  # re-trace with the new dispatch
         run(); run()                        # compile + warm
         reps = 8
         t0 = time.perf_counter()

@@ -50,11 +50,18 @@ def aggregate(trace_dir: str, top: int = 40) -> None:
         src = args.get("source", "?")
         by_src[src][0] += dur_ms
         by_src[src][1] += 1
+    long_names = {}
+    for e in events:
+        args = e.get("args") or {}
+        if "long_name" in args:
+            long_names.setdefault(e.get("name", "?"), args["long_name"])
     print(f"\ndevice total (all traced runs): {total:.1f} ms, "
           f"{sum(c for _, c in by_name.values())} events")
     print("\n--- top ops by total time ---")
     for k, (t, c) in sorted(by_name.items(), key=lambda kv: -kv[1][0])[:top]:
-        print(f"  {t:8.2f} ms  n={c:4d}  avg={t / c:7.3f}  {k[:90]}")
+        ln = long_names.get(k, "")[:160]
+        print(f"  {t:8.2f} ms  n={c:4d}  avg={t / c:7.3f}  {k[:60]}\n"
+              f"             {ln}")
     print("\n--- top source lines ---")
     for k, (t, c) in sorted(by_src.items(), key=lambda kv: -kv[1][0])[:top]:
         print(f"  {t:8.2f} ms  n={c:4d}  {k[:100]}")
