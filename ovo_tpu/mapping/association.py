@@ -372,8 +372,7 @@ def associate_and_insert_keyframe(
     if rgb_depth_ratio is None:
         # RGB == depth resolution: fold the seg map into the SAME gather as
         # the depth channels (ids <= M are exact in f32)
-        packed = jnp.stack(
-            [depth, depth_m, seg_img, jnp.zeros_like(depth)], axis=-1)
+        packed = jnp.stack([depth, depth_m, seg_img], axis=-1)
         g = packed[vc, uc]                               # one 2M-row gather
         d_raw, d_m, seg_pt = g[:, 0], g[:, 1], g[:, 2].astype(jnp.int32)
     else:

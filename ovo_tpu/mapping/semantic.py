@@ -109,7 +109,6 @@ class SemanticMapper:
         self.shard_query = bool(par_cfg.get("shard_query", False))
         self.dp_embed = bool(par_cfg.get("dp_embed", False))
         self._mesh = None
-        self._warned_ratio = False
 
     @property
     def mesh(self):
@@ -178,12 +177,7 @@ class SemanticMapper:
         last_id = int(self.store.next_id)
         t0 = time.time()
         ratio = tuple(rgb_depth_ratio) if len(rgb_depth_ratio) else None
-        if self.point_shard and ratio is not None and not self._warned_ratio:
-            self._warned_ratio = True
-            print("[parallel] point_shard does not support an RGB/depth "
-                  "resolution ratio yet; falling back to single-chip "
-                  "association")
-        if self.point_shard and ratio is None:
+        if self.point_shard:
             from ..parallel.shard import sharded_associate_keyframe
             map_state, self.store, match = sharded_associate_keyframe(
                 self.mesh, map_state, self.store, seg_map, binary_maps,
@@ -193,7 +187,8 @@ class SemanticMapper:
                 match_distance_th=self.match_distance_th,
                 track_th=self.track_th,
                 use_depth_filter=self.use_depth_filter,
-                unbounded_top_k=self.unbounded_top_k)
+                unbounded_top_k=self.unbounded_top_k,
+                rgb_depth_ratio=ratio)
         else:
             map_state, self.store, match = associate_keyframe(
                 map_state, self.store, seg_map, binary_maps, mask_valid,

@@ -87,17 +87,26 @@ def init_mask_decoder(key, d: int = 256, heads: int = 8, depth: int = 2,
 # ---------------------------------------------------------------------------
 
 def _attn(p: Params, q: Array, k: Array, v: Array, heads: int) -> Array:
-    B, Lq, _ = q.shape
-    Lk = k.shape[1]
+    """Multi-head attention where q / k / v may carry batch 1 against the
+    others' batch B: projections run on the SMALL batch (a shared image
+    embedding projects once, not per prompt) and only the head tensors
+    broadcast into the attention."""
+    B = max(q.shape[0], k.shape[0])
+    Lq, Lk = q.shape[1], k.shape[1]
     qq = L.linear(p["q"], q)
     kk = L.linear(p["k"], k)
     vv = L.linear(p["v"], v)
     internal = qq.shape[-1]
     hd = internal // heads
-    qh = qq.reshape(B, Lq, heads, hd).transpose(0, 2, 1, 3)
-    kh = kk.reshape(B, Lk, heads, hd).transpose(0, 2, 1, 3)
-    vh = vv.reshape(B, Lk, heads, hd).transpose(0, 2, 1, 3)
-    o = dot_product_attention(qh, kh, vh)
+
+    def heads_of(t, ln):
+        h = t.reshape(t.shape[0], ln, heads, hd).transpose(0, 2, 1, 3)
+        if h.shape[0] != B:
+            h = jnp.broadcast_to(h, (B,) + h.shape[1:])
+        return h
+
+    o = dot_product_attention(heads_of(qq, Lq), heads_of(kk, Lk),
+                              heads_of(vv, Lk))
     return L.linear(p["out"], o.transpose(0, 2, 1, 3).reshape(B, Lq, internal))
 
 
@@ -110,8 +119,14 @@ def _mlp3(p: Params, x: Array, sigmoid_out: bool = False) -> Array:
 
 def two_way_transformer(params: Params, tokens: Array, image: Array,
                         image_pe: Array, heads: int = 8) -> Tuple[Array, Array]:
-    """tokens (B, T, d) queries; image (B, L, d) keys; returns (tokens,
-    image) after the two-way layers + final token-to-image attention."""
+    """tokens (B, T, d) queries; image (1 or B, L, d) keys; returns
+    (tokens, image) after the two-way layers + final token-to-image
+    attention. The image side may enter with batch 1 (AMG: every prompt
+    shares the image embedding): its projections in the FIRST layer then
+    run once instead of per prompt, and the per-prompt divergence starts
+    only at the first image-side residual write -- ~5 ms/keyframe of
+    (B, 4096, ·) HBM traffic saved at B=256 (PERF.md)."""
+    B = tokens.shape[0]
     q_pe = tokens  # token embeddings double as their positional encoding
     queries, keys = tokens, image
     for i, layer in enumerate(params["layers"]):
@@ -130,6 +145,8 @@ def two_way_transformer(params: Params, tokens: Array, image: Array,
             layer["norm3"], queries + L.mlp(layer["mlp"], queries,
                                             act=jax.nn.relu))
         attn_out = _attn(layer["cross_i2t"], k, q, queries, heads)
+        if keys.shape[0] != B:
+            keys = jnp.broadcast_to(keys, (B,) + keys.shape[1:])
         keys = L.layer_norm(layer["norm4"], keys + attn_out)
     q = queries + q_pe
     k = keys + image_pe
@@ -144,12 +161,25 @@ def _conv_transpose2x(p: Params, x: Array) -> Array:
     (Cin, 2*2*Cout) matmul followed by a block reshape (XLA's conv_transpose
     lowering here profiled ~3x slower than the matmul form)."""
     B, H, W, Cin = x.shape
+    y = _up_blocked(p, x.reshape(B, H, W, Cin))    # (B, H, W, 2, 2, Cout)
+    Cout = y.shape[-1]
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, Cout)
+
+
+def _up_blocked(p: Params, x: Array) -> Array:
+    """The same transposed conv WITHOUT the depth-to-space transpose: input
+    rows (..., Cin) -> (..., 2, 2, Cout) where (i, j) index the 2x2 output
+    block of each input pixel. The per-prompt upscale chain stays in this
+    blocked layout end-to-end (bias/LN/gelu/skip-add/hypernet dot are all
+    spatial-order-agnostic), killing ~10 ms/keyframe of 0.5 GB layout
+    copies the depth-to-space transposes cost at B=256 (PERF.md); ONE
+    einsum at the very end emits masks in true raster order."""
     w = p["w"].astype(x.dtype)                     # (2, 2, Cin, Cout)
-    Cout = w.shape[-1]
+    Cin, Cout = w.shape[2], w.shape[3]
     wm = w.transpose(2, 0, 1, 3).reshape(Cin, 4 * Cout)
-    y = (x.reshape(-1, Cin) @ wm).reshape(B, H, W, 2, 2, Cout)
-    out = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, Cout)
-    return out + p["b"].astype(x.dtype)
+    lead = x.shape[:-1]
+    y = (x.reshape(-1, Cin) @ wm).reshape(lead + (2, 2, Cout))
+    return y + p["b"].astype(x.dtype)
 
 
 def decode_masks(params: Params, image_embed: Array, image_pe: Array,
@@ -181,24 +211,34 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
         [jnp.broadcast_to(prefix, (B, prefix.shape[0], d)),
          sparse_prompts.astype(cdtype)], axis=1)
 
-    src = jnp.broadcast_to(image_embed.reshape(1, H * W, d), (B, H * W, d))
-    pe = jnp.broadcast_to(image_pe.reshape(1, H * W, d).astype(cdtype),
-                          (B, H * W, d))
+    # image side enters batch-1: the first two-way layer projects it ONCE
+    src = image_embed.reshape(1, H * W, d)
+    pe = image_pe.reshape(1, H * W, d).astype(cdtype)
     queries, keys = two_way_transformer(params, tokens, src, pe, heads)
 
     obj_token = queries[:, 0]
     iou_token = queries[:, 1]
     mask_tokens = queries[:, 2:2 + NUM_MASK_TOKENS]
 
+    # ---- upscale chain in BLOCKED layout (see _up_blocked): the (B, 4H,
+    # 4W, ·) per-prompt tensors never materialize in raster order ----
     img = keys.reshape(B, H, W, d)
-    up = _conv_transpose2x(params["upscale1"], img)
+    up = _up_blocked(params["upscale1"], img)       # (B, H, W, 2, 2, up1)
     if high_res_feats is not None:
-        up = up + high_res_feats[1][None]
-    up = L.gelu(L.layer_norm(params["upscale_ln"], up))  # exact erf (torch parity)
-    up = _conv_transpose2x(params["upscale2"], up)
+        hr1 = high_res_feats[1]                     # (2H, 2W, up1) raster
+        up = up + hr1.reshape(H, 2, W, 2, -1).transpose(0, 2, 1, 3, 4)[None]
+    up = L.gelu(L.layer_norm(params["upscale_ln"], up))  # exact erf (torch)
+    up = _up_blocked(params["upscale2"], up)    # (B, H, W, 2, 2, 2, 2, up2)
     if high_res_feats is not None:
-        up = up + high_res_feats[0][None]
-    up = L.gelu(up)                                         # (B, 4H, 4W, up2)
+        hr0 = high_res_feats[0]                     # (4H, 4W, up2) raster
+        up = up + hr0.reshape(H, 2, 2, W, 2, 2, -1).transpose(
+            0, 3, 1, 4, 2, 5, 6)[None]
+    up = L.gelu(up)
+
+    # ONE relayout to raster order -- pixel (4h+2i+p, 4w+2j+q); the 8-D
+    # einsum variant that emitted raster directly made XLA materialize a
+    # f32 post-matmul transpose 3x bigger than this bf16 one (PERF.md)
+    up = up.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, 4 * H, 4 * W, -1)
 
     chans = tuple(range(NUM_MASK_TOKENS)) if mask_channels is None \
         else tuple(mask_channels)

@@ -24,7 +24,8 @@ Array = jax.Array
 
 
 def _local_votes(points, obj_ids, valid, seg_map, mask_valid, depth, c2w,
-                 Kmat, *, axis, match_distance_th, M, Kcap):
+                 Kmat, *, axis, match_distance_th, M, Kcap,
+                 rgb_depth_ratio=None):
     """Shard-local cull/project/match + partial vote matrix, psum'd to the
     exact global (M+1, Kcap+1) counts. Uses the same chunked one-hot MXU
     matmuls as the single-chip path (ops/segment_mxu rationale) -- they are
@@ -37,8 +38,19 @@ def _local_votes(points, obj_ids, valid, seg_map, mask_valid, depth, c2w,
         depth, jnp.linalg.inv(c2w), points, Kmat, match_distance_th,
         valid=in_frustum)
     Hr, Wr = seg_map.shape
-    u = jnp.clip(uv[:, 0], 0, Wr - 1)
-    v = jnp.clip(uv[:, 1], 0, Hr - 1)
+    if rgb_depth_ratio is not None:
+        # depth-res pixel -> RGB-res segmentation pixel (association.py
+        # rgb_depth_ratio remap, reference ovo.py:218-221)
+        r_h, r_w, crop_edge = rgb_depth_ratio
+        u = ((uv[:, 0] + crop_edge).astype(jnp.float32)
+             * r_w).astype(jnp.int32)
+        v = ((uv[:, 1] + crop_edge).astype(jnp.float32)
+             * r_h).astype(jnp.int32)
+        u = jnp.clip(u, 0, Wr - 1)
+        v = jnp.clip(v, 0, Hr - 1)
+    else:
+        u = jnp.clip(uv[:, 0], 0, Wr - 1)
+        v = jnp.clip(uv[:, 1], 0, Hr - 1)
     seg = jnp.where(matched, seg_map[v, u], -1)
     if mask_valid is not None:
         seg = jnp.where((seg >= 0) & (seg < M)
@@ -96,7 +108,7 @@ def sharded_vote_step(mesh: Mesh, points: Array, obj_ids: Array, valid: Array,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis", "match_distance_th", "track_th",
-                     "n_masks", "n_instances"))
+                     "n_masks", "n_instances", "rgb_depth_ratio"))
 def sharded_associate_step(mesh: Mesh, points: Array, obj_ids: Array,
                            valid: Array, seg_map: Array, mask_valid: Array,
                            depth: Array, c2w: Array, K: Array,
@@ -104,7 +116,8 @@ def sharded_associate_step(mesh: Mesh, points: Array, obj_ids: Array,
                            axis: str = "dp",
                            match_distance_th: float = 0.05,
                            track_th: int = 100, n_masks: int = 96,
-                           n_instances: int = 1024
+                           n_instances: int = 1024,
+                           rgb_depth_ratio=None
                            ) -> Tuple[Array, Array, Array]:
     """The COMPLETE per-keyframe association over a point-sharded map
     (BASELINE config 5 / SURVEY 5.7's sequence-parallel analogue): each
@@ -125,7 +138,8 @@ def sharded_associate_step(mesh: Mesh, points: Array, obj_ids: Array,
               Kmat, next_id):
         votes_full, seg, n_matched = _local_votes(
             points, obj_ids, valid, seg_map, mask_valid, depth, c2w, Kmat,
-            axis=axis, match_distance_th=match_distance_th, M=M, Kcap=Kcap)
+            axis=axis, match_distance_th=match_distance_th, M=M, Kcap=Kcap,
+            rgb_depth_ratio=rgb_depth_ratio)
         # identical (replicated) decisions on every shard: the SAME helper
         # the single-chip associate_keyframe uses -- the decision math
         # cannot drift between the two paths
@@ -152,9 +166,10 @@ def sharded_associate_keyframe(mesh: Mesh, map_state, store, seg_map: Array,
                                match_distance_th: float = 0.05,
                                track_th: int = 100,
                                use_depth_filter: bool = True,
-                               unbounded_top_k: bool = True):
+                               unbounded_top_k: bool = True,
+                               rgb_depth_ratio=None):
     """Drop-in point-sharded equivalent of association.associate_keyframe
-    (same inputs minus rgb_depth_ratio, same (map_state, store,
+    (same inputs, same (map_state, store,
     KeyframeMatch) outputs, bit-identical results): the point-sized half
     runs under shard_map with ONE psum'd vote matrix, the mask-sized tail
     (mint/fuse/areas/top-k) runs replicated through the SAME
@@ -175,7 +190,8 @@ def sharded_associate_keyframe(mesh: Mesh, map_state, store, seg_map: Array,
             mesh, map_state.points, map_state.obj_ids,
             map_state.valid_mask(), seg_map, mask_valid, depth_m, c2w, K,
             store.next_id, axis=axis, match_distance_th=match_distance_th,
-            track_th=track_th, n_masks=M, n_instances=store.capacity)
+            track_th=track_th, n_masks=M, n_instances=store.capacity,
+            rgb_depth_ratio=rgb_depth_ratio)
     map_state = map_state._replace(obj_ids=new_obj)
     store, match = mask_tail_program(
         store, ins_of_mask, n_new, dropped, unassigned_cnt, seg_map,

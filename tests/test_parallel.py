@@ -345,3 +345,55 @@ def test_dp_embed_batch_matches_replicated(mesh8, rng):
     got = np.asarray(sem._dp_embed_batch(imgs, jnp.asarray(masks), keeps))
     assert got.shape == ref.shape == (B, 4, 32)
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_associate_ratio_parity(mesh8, rng):
+    """RGB/depth resolution remap (ScanNet 5-tuple) through the sharded
+    path matches the single-chip program exactly."""
+    from ovo_tpu.mapping.association import associate_keyframe
+    from ovo_tpu.mapping.instances import init_instance_store
+    from ovo_tpu.mapping.map_state import init_map_state
+    from ovo_tpu.parallel.shard import sharded_associate_keyframe
+
+    H, W = 32, 48
+    N, M, Kc = 1024, 8, 32
+    K = np.array([[40.0, 0, W / 2 - 0.5], [0, 40.0, H / 2 - 0.5],
+                  [0, 0, 1]], dtype=np.float32)
+    depth = rng.uniform(1.0, 3.0, (H, W)).astype(np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    uu = rng.integers(1, W - 1, N)
+    vv = rng.integers(1, H - 1, N)
+    z = depth[vv, uu]
+    pts = np.stack([(uu - K[0, 2]) * z / K[0, 0],
+                    (vv - K[1, 2]) * z / K[1, 1], z], 1).astype(np.float32)
+    # RGB-resolution segmentation at 2x the depth resolution
+    seg = rng.integers(-1, M, (2 * H, 2 * W)).astype(np.int32)
+    binary = np.stack([seg == m for m in range(M)])
+    valid = np.ones(M, bool)
+    ratio = (2.0, 2.0, 0)
+
+    def fresh():
+        st = init_map_state(N)._replace(
+            points=jnp.asarray(pts), obj_ids=jnp.full((N,), -1, jnp.int32),
+            count=jnp.asarray(N, jnp.int32))
+        return st, init_instance_store(Kc, 4)
+
+    st, store = fresh()
+    ref_st, ref_store, ref_m = associate_keyframe(
+        st, store, jnp.asarray(seg), jnp.asarray(binary), jnp.asarray(valid),
+        jnp.asarray(depth), jnp.asarray(c2w), jnp.asarray(K),
+        jnp.asarray(0, jnp.int32), match_distance_th=0.05, track_th=20,
+        use_depth_filter=False, unbounded_top_k=True, rgb_depth_ratio=ratio)
+
+    st, store = fresh()
+    sh_st, sh_store, sh_m = sharded_associate_keyframe(
+        mesh8, st, store, jnp.asarray(seg), jnp.asarray(binary),
+        jnp.asarray(valid), jnp.asarray(depth), jnp.asarray(c2w),
+        jnp.asarray(K), jnp.asarray(0, jnp.int32), match_distance_th=0.05,
+        track_th=20, use_depth_filter=False, unbounded_top_k=True,
+        rgb_depth_ratio=ratio)
+    np.testing.assert_array_equal(np.asarray(sh_st.obj_ids),
+                                  np.asarray(ref_st.obj_ids))
+    np.testing.assert_array_equal(np.asarray(sh_m.ins_ids),
+                                  np.asarray(ref_m.ins_ids))
+    assert int(sh_m.n_new) == int(ref_m.n_new)
