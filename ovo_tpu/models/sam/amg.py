@@ -63,6 +63,53 @@ def upsample_bilinear_matmul(x: Array, out_hw: Tuple[int, int]) -> Array:
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def upsample_bilinear_matmul_blocked(x: Array, out_hw: Tuple[int, int]
+                                     ) -> Array:
+    """(M, h, w, 2, 2, 2, 2) decoder-blocked logits (decode_masks
+    blocked=True; pixel (4h+2i+p, 4w+2j+q) at index (h, w, i, j, p, q)) ->
+    (M, H, W) raster, reading the blocked order directly by reshaping the
+    interpolation WEIGHTS (source row 4h+2i+p == C-order flatten of
+    (h, i, p)).
+
+    NOTE kept as a tested utility, not wired into _amg_program: running the
+    whole AMG tail on blocked logits measured SLOWER end-to-end -- XLA's
+    layout assignment copies 8-D dot operands/outputs into exotic layouts
+    (traced +3..+9 ms vs the single raster relayout; PERF.md 6e)."""
+    M, h, w = x.shape[:3]
+    H, W = out_hw
+    mh = jnp.asarray(_bilinear_matrix(4 * h, H)).reshape(h, 2, 2, H)
+    mw = jnp.asarray(_bilinear_matrix(4 * w, W)).reshape(w, 2, 2, W)
+    y = jnp.einsum("mhwijpq,hipH->mwjqH", x, mh,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("mwjqH,wjqW->mHW", y, mw,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def mask_boxes_blocked(masks: Array) -> Array:
+    """(N, h, w, 2, 2, 2, 2) bool in the decoder's blocked layout ->
+    (N, 4) xyxy raster-pixel boxes; mask_boxes semantics with coordinate
+    TENSORS built in blocked order (see upsample_bilinear_matmul_blocked
+    note on why this stays a utility)."""
+    N, h, w = masks.shape[:3]
+    H, W = 4 * h, 4 * w
+    rows = jnp.any(masks, axis=(2, 4, 6))          # (N, h, i, p)
+    cols = jnp.any(masks, axis=(1, 3, 5))          # (N, w, j, q)
+    two = jnp.arange(2)
+    ridx = (4 * jnp.arange(h)[:, None, None] + 2 * two[None, :, None]
+            + two[None, None, :])                  # (h, 2, 2) = 4h+2i+p
+    cidx = (4 * jnp.arange(w)[:, None, None] + 2 * two[None, :, None]
+            + two[None, None, :])                  # (w, 2, 2) = 4w+2j+q
+    y0 = jnp.min(jnp.where(rows, ridx[None], H), axis=(1, 2, 3))
+    y1 = jnp.max(jnp.where(rows, ridx[None], -1), axis=(1, 2, 3))
+    x0 = jnp.min(jnp.where(cols, cidx[None], W), axis=(1, 2, 3))
+    x1 = jnp.max(jnp.where(cols, cidx[None], -1), axis=(1, 2, 3))
+    empty = ~jnp.any(rows, axis=(1, 2, 3))
+    box = jnp.stack([x0, y0, x1, y1], axis=1)
+    return jnp.where(empty[:, None], 0, box)
+
+
 def grid_points(points_per_side: int) -> np.ndarray:
     """Normalized [0,1] grid point prompts (SAM AMG build_point_grid)."""
     offset = 1.0 / (2 * points_per_side)

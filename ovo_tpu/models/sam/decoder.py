@@ -186,8 +186,8 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
                  sparse_prompts: Array,
                  high_res_feats: Optional[List[Array]] = None,
                  heads: int = 8,
-                 mask_channels: Optional[Tuple[int, ...]] = None
-                 ) -> Dict[str, Array]:
+                 mask_channels: Optional[Tuple[int, ...]] = None,
+                 blocked: bool = False) -> Dict[str, Array]:
     """One batched decoding pass.
 
     image_embed: (H, W, d) shared image embedding (stride 16);
@@ -200,6 +200,10 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
 
     Returns {"masks": (B, C, 4H, 4W) logits over mask_channels,
              "iou": (B, C), "obj_score": (B,)}.
+    With ``blocked=True`` masks come back as (B, C, H, W, 2, 2, 2, 2) in
+    the upscaler's native blocked layout -- pixel (4h+2i+p, 4w+2j+q) at
+    index (h, w, i, j, p, q) -- skipping the raster relayout copy (AMG's
+    order-agnostic consumers read it directly).
     """
     B = sparse_prompts.shape[0]
     H, W, d = image_embed.shape
@@ -235,17 +239,34 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
             0, 3, 1, 4, 2, 5, 6)[None]
     up = L.gelu(up)
 
-    # ONE relayout to raster order -- pixel (4h+2i+p, 4w+2j+q); the 8-D
-    # einsum variant that emitted raster directly made XLA materialize a
-    # f32 post-matmul transpose 3x bigger than this bf16 one (PERF.md)
-    up = up.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, 4 * H, 4 * W, -1)
-
     chans = tuple(range(NUM_MASK_TOKENS)) if mask_channels is None \
         else tuple(mask_channels)
     hyper = jnp.stack([_mlp3(params["hyper_mlps"][i], mask_tokens[:, i])
                        for i in chans], axis=1)            # (B, C, up2)
-    masks = jnp.einsum("bkc,bhwc->bkhw", hyper, up,
-                       preferred_element_type=jnp.float32)
+    if blocked:
+        # emit logits in the decoder-native blocked layout (B, C, H, W, 2,
+        # 2, 2, 2) -- pixel (4h+2i+p, 4w+2j+q) at index (h, w, i, j, p, q).
+        # Every AMG consumer is spatial-order-agnostic (sums, intersection
+        # matmuls, coordinate tensors), and the final full-res bilinear
+        # upsample reads the blocked order directly by reshaping its
+        # WEIGHT matrix (amg.upsample_bilinear_matmul_blocked), so the
+        # raster relayout of this (B, 4H, 4W, up2)-sized tensor (~7 ms/
+        # keyframe of pure layout copies at B=256, PERF.md) never happens.
+        # flatten the blocked spatial dims (row-major -> free bitcast) so
+        # the dot is a plain BMM: an 8-D dot makes XLA pick exotic layouts
+        # and re-copy both operands (traced +3 ms vs the raster path)
+        C = up.shape[-1]
+        masks = jnp.einsum("bkc,bsc->bks", hyper, up.reshape(B, -1, C),
+                           preferred_element_type=jnp.float32)
+        masks = masks.reshape((B, masks.shape[1]) + up.shape[1:-1])
+    else:
+        # ONE relayout to raster order -- pixel (4h+2i+p, 4w+2j+q); the 8-D
+        # einsum variant that emitted raster directly made XLA materialize a
+        # f32 post-matmul transpose 3x bigger than this bf16 one (PERF.md)
+        up = up.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            B, 4 * H, 4 * W, -1)
+        masks = jnp.einsum("bkc,bhwc->bkhw", hyper, up,
+                           preferred_element_type=jnp.float32)
     iou = _mlp3(params["iou_head"], iou_token, sigmoid_out=True)[:, list(chans)]
     obj = L.linear(params["obj_head"], obj_token)[:, 0]
     return {"masks": masks, "iou": iou, "obj_score": obj}

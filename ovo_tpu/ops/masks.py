@@ -31,8 +31,9 @@ Array = jax.Array
 def mask_nms(masks: Array, scores: Array, valid: Array, *,
              iou_thr: float = 0.7, score_thr: float = 0.1,
              inner_thr: float = 0.2) -> Array:
-    """Mask NMS. Args: masks (N, H, W) bool; scores (N,); valid (N,).
-    Returns keep (N,) bool over the ORIGINAL mask order."""
+    """Mask NMS. Args: masks (N, *spatial) bool in ANY consistent spatial
+    order (intersections are flatten-order-agnostic); scores (N,); valid
+    (N,). Returns keep (N,) bool over the ORIGINAL mask order."""
     N = masks.shape[0]
     neg = jnp.asarray(-jnp.inf, scores.dtype)
     s = jnp.where(valid, scores, neg)

@@ -267,3 +267,37 @@ def test_conv_transpose2x_matches_torch():
     p = {"w": jnp.asarray(wt.transpose(2, 3, 0, 1)), "b": jnp.asarray(b)}
     got = np.asarray(_conv_transpose2x(p, jnp.asarray(x)))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_blocked_masks_match_raster(tiny_sam, rng):
+    """decode_grid(blocked=True) + the blocked-layout box/upsample helpers
+    are exactly the raster path without its relayout copy (PERF.md 6e)."""
+    from ovo_tpu.models.sam.amg import (mask_boxes, mask_boxes_blocked,
+                                        upsample_bilinear_matmul,
+                                        upsample_bilinear_matmul_blocked)
+
+    img = rng.integers(0, 255, (90, 120, 3)).astype(np.uint8)
+    x = tiny_sam.preprocess(jnp.asarray(img).astype(jnp.float32) / 255.0)
+    embed, high_res = tiny_sam.encode_image(x)
+    pts = jnp.asarray(grid_points(3))
+    out_r = tiny_sam.decode_grid(embed, high_res, pts, mask_channels=(1, 2, 3))
+    out_b = tiny_sam.decode_grid(embed, high_res, pts, mask_channels=(1, 2, 3),
+                                 blocked=True)
+    lb = np.asarray(out_b["masks"])
+    P, K, h, w = lb.shape[:4]
+    assert lb.shape == (P, K, h, w, 2, 2, 2, 2)
+    # blocked index (h, w, i, j, p, q) holds pixel (4h+2i+p, 4w+2j+q)
+    lb_raster = lb.transpose(0, 1, 2, 4, 6, 3, 5, 7).reshape(P, K, 4 * h,
+                                                             4 * w)
+    np.testing.assert_allclose(lb_raster, np.asarray(out_r["masks"]),
+                               atol=1e-5)
+
+    lg_b = jnp.asarray(lb.reshape((P * K,) + lb.shape[2:]))
+    lg_r = jnp.asarray(lb_raster.reshape(P * K, 4 * h, 4 * w))
+    up_b = np.asarray(upsample_bilinear_matmul_blocked(lg_b, (90, 120)))
+    up_r = np.asarray(upsample_bilinear_matmul(lg_r, (90, 120)))
+    np.testing.assert_allclose(up_b, up_r, atol=1e-5)
+
+    np.testing.assert_array_equal(
+        np.asarray(mask_boxes_blocked(lg_b > 0.0)),
+        np.asarray(mask_boxes(lg_r > 0.0)))
