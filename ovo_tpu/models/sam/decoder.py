@@ -232,6 +232,17 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
         hr1 = high_res_feats[1]                     # (2H, 2W, up1) raster
         up = up + hr1.reshape(H, 2, W, 2, -1).transpose(0, 2, 1, 3, 4)[None]
     up = L.gelu(L.layer_norm(params["upscale_ln"], up))  # exact erf (torch)
+
+    chans = tuple(range(NUM_MASK_TOKENS)) if mask_channels is None \
+        else tuple(mask_channels)
+    hyper = jnp.stack([_mlp3(params["hyper_mlps"][i], mask_tokens[:, i])
+                       for i in chans], axis=1)            # (B, C, up2)
+
+    # NOTE a fused Pallas tail (upscale2+bias+hr0+gelu+hypernet in one
+    # kernel, ops/mask_tail.py) was built and measured SLOWER (36.7 vs
+    # 14.7 ms standalone at B=256): the C=3 hypernet output forces 12-of-
+    # 128-lane masked stores and the per-tap dots underfill the MXU
+    # (PERF.md 6i). It remains a tested utility; XLA stays the prod path.
     up = _up_blocked(params["upscale2"], up)    # (B, H, W, 2, 2, 2, 2, up2)
     if high_res_feats is not None:
         hr0 = high_res_feats[0]                     # (4H, 4W, up2) raster
@@ -239,10 +250,6 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
             0, 3, 1, 4, 2, 5, 6)[None]
     up = L.gelu(up)
 
-    chans = tuple(range(NUM_MASK_TOKENS)) if mask_channels is None \
-        else tuple(mask_channels)
-    hyper = jnp.stack([_mlp3(params["hyper_mlps"][i], mask_tokens[:, i])
-                       for i in chans], axis=1)            # (B, C, up2)
     if blocked:
         # emit logits in the decoder-native blocked layout (B, C, H, W, 2,
         # 2, 2, 2) -- pixel (4h+2i+p, 4w+2j+q) at index (h, w, i, j, p, q).

@@ -147,15 +147,28 @@ def dot_product_attention(q: Array, k: Array, v: Array,
         return xla_attention(q, k, v, mask=mask, scale=scale)
 
     lq, lk, d = q.shape[-2], k.shape[-2], q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
     # The kernel handles any head dim that is a multiple of 8 (ragged KV via
     # kv_len), but traced end-to-end XLA's fused attention is FASTER for the
     # small-head-dim towers here (PE hd=64: 36->57 ms per TextRegion call;
-    # Hiera hd=72: AMG 90->101 ms), so "auto" only routes MXU-native head
-    # dims through it. Callers can force the kernel with impl="flash".
-    if impl != "flash" and (d % 128 != 0 or lq < 128 or lk < 128):
+    # Hiera hd=72 routed through the unpadded d=72 kernel: AMG 90->101 ms),
+    # so "auto" routes (a) MXU-native head dims and (b) LARGE sequences,
+    # where XLA materializes the f32 (L, L) probability tensor in HBM
+    # (537 MB at L=4096) and the kernel's streaming softmax wins even with
+    # the head dim zero-padded to 128: Hiera-global (8, 4096, 72) measured
+    # 4.1 ms XLA vs 1.1 ms padded kernel (PERF.md 6g). Zero-padded q/k
+    # leave the scores unchanged; padded v columns are sliced off.
+    # Callers can force the kernel with impl="flash".
+    big = lq >= 2048 and lk >= 2048
+    if impl != "flash" and not big and (d % 128 != 0 or lq < 128 or lk < 128):
         if causal:
             mask = jnp.tril(jnp.ones((lq, lk), bool))[None, None]
         return xla_attention(q, k, v, mask=mask, scale=scale)
+    if big and d % 128 != 0:
+        pad_d = (-d) % 128
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
 
     # pad sequence lengths to block multiples; padded keys are masked out
     # inside the kernel (kv_len), padded query rows are sliced off
@@ -171,4 +184,4 @@ def dot_product_attention(q: Array, k: Array, v: Array,
     out = flash_attention(q, k, v, scale=scale, causal=causal,
                           block_q=bq, block_k=bk,
                           kv_len=lk if pad_k else None)
-    return out[..., :lq, :]
+    return out[..., :lq, :d]

@@ -43,6 +43,22 @@ def test_flash_attention_small_head_dim(rng, d):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_attention_padded_head_dim(rng):
+    """The large-sequence auto-dispatch path zero-pads the head dim to the
+    MXU-native 128 (dot_product_attention `big` branch): padded q/k leave
+    the scores unchanged and padded v columns slice off exactly."""
+    b, h, l, d = 1, 2, 256, 72
+    q = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    ref = xla_attention(q, k, v)
+    pad = [(0, 0)] * 3 + [(0, 128 - d)]
+    got = flash_attention(jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+                          scale=d ** -0.5, block_q=128, block_k=128,
+                          interpret=True)[..., :d]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_flash_attention_ragged_kv(rng):
     """Padded key rows beyond kv_len must receive zero weight (PE's L=577
     pads to 640)."""

@@ -269,6 +269,39 @@ def test_conv_transpose2x_matches_torch():
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_fused_mask_tail_matches_xla(rng):
+    """ops/mask_tail.py fused kernel (interpret) == decode_masks' raster
+    tail (upscale2 + bias + hr0 + gelu + hypernet) op-for-op on bf16."""
+    from ovo_tpu.models.sam.decoder import _up_blocked
+    from ovo_tpu.ops.mask_tail import fused_mask_tail, mask_tail_to_raster
+
+    B, H, W, c1, c2, C = 3, 16, 16, 32, 16, 3
+    bf = jnp.bfloat16
+    up = jnp.asarray(rng.standard_normal((B, H, W, 2, 2, c1)), bf)
+    w2 = jnp.asarray(rng.standard_normal((2, 2, c1, c2)) * 0.1, bf)
+    b2 = jnp.asarray(rng.standard_normal((c2,)) * 0.1, bf)
+    hr0 = jnp.asarray(rng.standard_normal((4 * H, 4 * W, c2)), bf)
+    hyper = jnp.asarray(rng.standard_normal((B, C, c2)), bf)
+
+    # XLA reference: exactly the decode_masks raster tail
+    y = _up_blocked({"w": w2, "b": b2}, up)
+    y = y + hr0.reshape(H, 2, 2, W, 2, 2, -1).transpose(
+        0, 3, 1, 4, 2, 5, 6)[None]
+    y = jax.nn.gelu(y, approximate=True)
+    y = y.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, 4 * H, 4 * W, -1)
+    ref = jnp.einsum("bkc,bhwc->bkhw", hyper, y,
+                     preferred_element_type=jnp.float32)
+
+    w2q = w2.reshape(4, c1, c2)
+    hr0q = hr0.reshape(H, 2, 2, W, 2, 2, c2).transpose(
+        2, 5, 0, 3, 1, 4, 6).reshape(4, H * W * 4, c2)
+    got4 = fused_mask_tail(up.reshape(B, H * W * 4, c1), w2q, b2, hr0q,
+                           hyper, H=H, W=W, interpret=True)
+    got = mask_tail_to_raster(got4, H, W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_blocked_masks_match_raster(tiny_sam, rng):
     """decode_grid(blocked=True) + the blocked-layout box/upsample helpers
     are exactly the raster path without its relayout copy (PERF.md 6e)."""
