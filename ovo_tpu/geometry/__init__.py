@@ -178,14 +178,35 @@ def unproject_depth(depth: Array, K: Array, c2w: Array) -> Array:
     return transform_points(c2w, cam)
 
 
-def max_pool_erode(mask: Array, k_size: int) -> Array:
+def subsample2d(x: Array, s: int) -> Array:
+    """``x[::s, ::s]`` over the two leading dims. When both divide evenly
+    this goes through reshape + unit-stride slices (a contiguous copy)
+    instead of a strided slice, which XLA lowers much more cheaply on TPU
+    (strided raster slices traced ~2-4 ms each on 816k-pixel frames)."""
+    if s <= 1:
+        return x
+    H, W = x.shape[:2]
+    if H % s == 0 and W % s == 0:
+        r = x.reshape((H // s, s, W // s, s) + x.shape[2:])
+        return r[:, 0, :, 0]
+    return x[::s, ::s]
+
+
+def max_pool_erode(mask: Array, k_size: int, stride: int = 1) -> Array:
     """~maxpool(~mask): erode a boolean "new pixel" mask so isolated new
-    pixels next to matched ones are suppressed (vanilla_mapper.py:26-31)."""
+    pixels next to matched ones are suppressed (vanilla_mapper.py:26-31).
+
+    ``stride > 1`` fuses the caller's subsequent ``[::stride, ::stride]``
+    subsample into the pooling window (same window size / centers /
+    padding, so ``max_pool_erode(m, k, s) == max_pool_erode(m, k)[::s,
+    ::s]`` exactly) -- the full-res eroded mask never materializes, which
+    traced ~4 ms/keyframe cheaper on the 816k-pixel insert-dedup path."""
     if k_size <= 1:
-        return mask
+        return mask if stride <= 1 else mask[::stride, ::stride]
     pad = k_size // 2
     inv = (~mask).astype(jnp.float32)[None, :, :, None]
     pooled = jax.lax.reduce_window(
-        inv, -jnp.inf, jax.lax.max, (1, k_size, k_size, 1), (1, 1, 1, 1),
+        inv, -jnp.inf, jax.lax.max, (1, k_size, k_size, 1),
+        (1, stride, stride, 1),
         [(0, 0), (pad, pad), (pad, pad), (0, 0)])
     return ~(pooled[0, :, :, 0] > 0)

@@ -417,14 +417,18 @@ def associate_and_insert_keyframe(
     hits = jnp.zeros(depth.shape, jnp.bool_).at[vc, uc].max(
         ins_matched, mode="drop")
     have_map = map_state.count > 0
-    ins_mask = jnp.where(
-        have_map,
-        geo.max_pool_erode((depth > 0) & ~hits, k_pooling),
-        depth > 0)
     if downscale > 1:
-        ins_mask = ins_mask[::downscale, ::downscale]
-        depth_ds = depth[::downscale, ::downscale]
-        image_ds = image[::downscale, ::downscale]
+        # subsample fused into the erode window (max_pool_erode stride):
+        # the full-res eroded mask never materializes, and the raster
+        # subsamples go through reshape+unit-slice instead of strided
+        # slices (traced ~6 ms/keyframe cheaper together)
+        depth_ds = geo.subsample2d(depth, downscale)
+        image_ds = geo.subsample2d(image, downscale)
+        ins_mask = jnp.where(
+            have_map,
+            geo.max_pool_erode((depth > 0) & ~hits, k_pooling,
+                               stride=downscale),
+            depth_ds > 0)
         hh, ww = ins_mask.shape
         vg = (jnp.arange(hh, dtype=jnp.float32) * downscale)[:, None]
         ug = (jnp.arange(ww, dtype=jnp.float32) * downscale)[None, :]
@@ -434,6 +438,10 @@ def associate_and_insert_keyframe(
         new_pts = geo.transform_points(c2w, cam)
     else:
         image_ds = image
+        ins_mask = jnp.where(
+            have_map,
+            geo.max_pool_erode((depth > 0) & ~hits, k_pooling),
+            depth > 0)
         new_pts = geo.unproject_depth(depth, K, c2w)
     map_state = _scatter_append(map_state, new_pts,
                                 image_ds.reshape(-1, 3),

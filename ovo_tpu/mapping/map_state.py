@@ -84,14 +84,15 @@ def map_insert_frame(state: MapState, image: Array, depth: Array, c2w: Array,
         hits = jnp.zeros(depth.shape, jnp.bool_).at[uv[:, 1], uv[:, 0]].max(
             matched, mode="drop")
         mask_new = mask & ~hits
-        return geo.max_pool_erode(mask_new, k_pooling)
+        # subsample fused into the erode window (max_pool_erode stride)
+        return geo.max_pool_erode(mask_new, k_pooling, stride=downscale)
 
-    mask = jax.lax.cond(state.count > 0, dedup, lambda m: m, mask)
+    mask = jax.lax.cond(state.count > 0, dedup,
+                        lambda m: geo.subsample2d(m, downscale), mask)
 
     if downscale > 1:
-        mask = mask[::downscale, ::downscale]
-        depth_ds = depth[::downscale, ::downscale]
-        image_ds = image[::downscale, ::downscale]
+        depth_ds = geo.subsample2d(depth, downscale)
+        image_ds = geo.subsample2d(image, downscale)
         K_ds = jnp.asarray(
             [[K[0, 0], 0.0, K[0, 2]], [0.0, K[1, 1], K[1, 2]], [0.0, 0.0, 1.0]])
         # NOTE: like the reference, pixel coordinates keep their ORIGINAL

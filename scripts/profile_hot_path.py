@@ -114,6 +114,43 @@ def main() -> None:
         def run():
             seg, bmaps, valid = amg.get_masks(img_dev, 0)
             return np.asarray(seg)[0, 0]
+    elif stage == "assoc":
+        # fused association + map insert at bench shapes (2M-point map,
+        # 96 mask slots), synthetic masks so the stage is isolated from
+        # SAM. NOTE the program donates state/store -> thread them.
+        from ovo_tpu.mapping import association
+        from ovo_tpu.mapping.instances import init_instance_store
+        from ovo_tpu.mapping.map_state import init_map_state, \
+            map_insert_frame
+
+        K = jnp.asarray([[600.0, 0, 599.5], [0, 600.0, 339.5], [0, 0, 1]],
+                        jnp.float32)
+        c2w = jnp.eye(4, dtype=jnp.float32)
+        depth = jnp.asarray(
+            rng.uniform(1.0, 3.0, (H, W)).astype(np.float32))
+        img = jnp.asarray(img_u8)
+        seg = jnp.asarray(
+            rng.integers(-1, M_MASKS, (H, W)).astype(np.int32))
+        bmaps = jnp.asarray(
+            (seg[None] == jnp.arange(M_MASKS)[:, None, None]))
+        valid = jnp.ones((M_MASKS,), bool)
+        box = {
+            "state": map_insert_frame(init_map_state(2 ** 21), img, depth,
+                                      c2w, K),
+            "store": init_instance_store(2 ** 10, 1024),
+            "kf": 1,
+        }
+
+        def run():
+            box["state"], box["store"], _ = \
+                association.associate_and_insert_keyframe(
+                    box["state"], box["store"], seg, bmaps, valid, img,
+                    depth, c2w, K, jnp.asarray(box["kf"], jnp.int32),
+                    match_distance_th=0.05, track_th=100,
+                    use_depth_filter=True, unbounded_top_k=True,
+                    k_pooling=3, downscale=2)
+            box["kf"] += 1
+            return np.asarray(box["state"].count)
     else:
         raise SystemExit(f"unknown stage {stage}")
 

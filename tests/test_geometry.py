@@ -165,6 +165,29 @@ def test_max_pool_erode_matches_torch(rng):
 
 
 @pytest.mark.parametrize("k", [1, 3, 5])
+@pytest.mark.parametrize("s", [2, 3])
+@pytest.mark.parametrize("hw", [(20, 24), (21, 25)])
+def test_max_pool_erode_stride_equals_subsample(rng, k, s, hw):
+    """Fused-stride erode == stride-1 erode followed by [::s, ::s]
+    (the association insert path relies on this exactly)."""
+    mask = rng.random(hw) > 0.5
+    ref = np.asarray(geo.max_pool_erode(jnp.asarray(mask), k))[::s, ::s]
+    got = np.asarray(geo.max_pool_erode(jnp.asarray(mask), k, stride=s))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("s", [1, 2, 3])
+@pytest.mark.parametrize("hw", [(20, 24), (21, 25), (20, 25)])
+def test_subsample2d_equals_strided_slice(rng, s, hw):
+    x = rng.standard_normal(hw + (3,)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(geo.subsample2d(jnp.asarray(x), s)), x[::s, ::s])
+    m = rng.random(hw) > 0.5
+    np.testing.assert_array_equal(
+        np.asarray(geo.subsample2d(jnp.asarray(m), s)), m[::s, ::s])
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
 def test_max_pool_erode_identity_when_k1(rng, k):
     mask = rng.random((8, 8)) > 0.3
     out = np.asarray(geo.max_pool_erode(jnp.asarray(mask), k))
