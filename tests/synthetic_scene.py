@@ -46,12 +46,17 @@ def label_at(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 class SyntheticWallDataset:
     """Duck-typed dataset: __getitem__ -> (id, image, depth, pose)."""
 
-    def __init__(self, n_frames: int = 12, step: float = 0.25):
+    def __init__(self, n_frames: int = 12, step: float = 0.25,
+                 textured: bool = False):
         self.K = make_camera()
         self.intrinsics = self.K
         self.height, self.width = H, W
         self.crop_edge = 0
         self.dataset_config = {"H": H, "W": W}
+        # textured: paint a WORLD-anchored sinusoid into the blue channel so
+        # dense photometric trackers (slam_module orbslam) have gradients;
+        # red keeps the class label, so masks/embeddings are unaffected
+        self.textured = textured
         self.poses = []
         for i in range(n_frames):
             c2w = np.eye(4, dtype=np.float32)
@@ -76,6 +81,9 @@ class SyntheticWallDataset:
         image = np.zeros((H, W, 3), np.uint8)
         image[..., 0] = lab  # label encoded in red channel
         image[..., 1] = 128
+        if self.textured:
+            tex = 128 + 80 * np.sin(3.0 * x) * np.cos(3.5 * y)
+            image[..., 2] = np.clip(tex, 0, 255).astype(np.uint8)
         return index, image, depth, self.poses[index]
 
 

@@ -167,6 +167,44 @@ def test_pipeline_sam_batch_matches_serial(tmp_path):
     np.testing.assert_allclose(results[1][2], results[2][2], atol=1e-5)
 
 
+def test_pipeline_orbslam_tier_e2e(tmp_path):
+    """Full OVOSemMap loop with slam_module=orbslam: poses come from the
+    native dense tracker (NOT GT), mapping only fires on tracker keyframes,
+    and the semantic map still forms. Closes the gap where the ORB tier was
+    only exercised through direct WrapperORBSLAM calls."""
+    cfg = make_config()
+    cfg["slam"] = {"slam_module": "orbslam", "save_estimated_cam": True,
+                   # every 0.25 m lateral step should spawn a keyframe
+                   "kf_trans_th": 0.15, "kf_rot_th": 0.15,
+                   "kf_inlier_th": 0.6}
+    ds = SyntheticWallDataset(n_frames=12, textured=True)
+    embeds = class_embeddings(16)
+    text_embeds = {f"This is a photo of a {c}": embeds[i]
+                   for i, c in enumerate(CLASSES)}
+    text_embeds.update({c: embeds[i] for i, c in enumerate(CLASSES)})
+    embedder = RecordedEmbedder(16, mask_label_fn, embeds, text_embeds)
+    mask_source = CallableMaskSource(synthetic_mask_fn, max_masks=16)
+    sem_map = OVOSemMap(cfg, tmp_path, mask_source=mask_source,
+                        embedder=embedder, dataset=ds)
+    sem_map.run()
+
+    # tracker poses close to GT on the textured wall (first pose anchors
+    # the world frame, so it is exact)
+    errs = []
+    for fid, est in sem_map.slam_backbone.estimated_c2ws.items():
+        gt = ds.poses[fid]
+        errs.append(np.linalg.norm(np.asarray(est)[:3, 3] - gt[:3, 3]))
+    assert len(errs) >= len(ds) - 1
+    assert max(errs) < 0.08, f"tracker drift too large: {max(errs):.3f}"
+
+    # keyframes spawned and the dense map + instances formed through the
+    # tracker-gated mapping cadence
+    assert sem_map.slam_backbone.tracker.num_keyframes() >= 3
+    assert int(sem_map.slam_backbone.state.count) > 1000
+    info = sem_map.ovo.classify_instances(CLASSES)
+    assert (info["conf"] > 0.9).sum() >= 2  # one-hot embeds -> confident
+
+
 def test_pipeline_restore_map_resume(tmp_path):
     """Mid-run resume (reference ovomapping.py:68-71,102-116): run half the
     scene, checkpoint, rebuild with restore_map=True, continue — the resumed
