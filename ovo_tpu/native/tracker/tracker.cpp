@@ -402,7 +402,11 @@ struct Tracker {
                 Hm[a * 6 + b] += wi * Ji[a] * Ji[b] + lam_d * wd * Jz[a] * Jz[b];
             }
           }
-        if (n_res < 100) return false;
+        // sanity floor on residual count: 100 for production-size frames,
+        // proportional for tiny pyramids (a 64x96 frame's eighth-res level
+        // has only ~60 interior pixels; 6-DoF GN is still well-posed)
+        const int need = std::min(100, std::max(24, (W * H) / 8));
+        if (n_res < need) return false;
         for (int a = 0; a < 6; ++a)
           for (int b = a + 1; b < 6; ++b) Hm[a * 6 + b] = Hm[b * 6 + a];
         for (int a = 0; a < 6; ++a) Hm[a * 6 + a] *= 1.0 + 1e-3;

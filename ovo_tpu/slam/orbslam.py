@@ -145,6 +145,18 @@ class WrapperORBSLAM(VanillaMapper):
             kf_trans_th=slam_cfg.get("kf_trans_th", 0.15),
             kf_rot_th=slam_cfg.get("kf_rot_th", 0.15),
             kf_inlier_th=slam_cfg.get("kf_inlier_th", 0.6))
+        # loop-closing gates, config-tunable like the reference's per-scene
+        # ORB yamls (non-positive values keep the native defaults);
+        # close_loops: false turns loop detection off entirely (the
+        # candidate gap becomes unreachable), leaving pure odometry
+        if slam_cfg.get("close_loops", True):
+            self.tracker.set_loop_params(
+                min_kf_gap=int(slam_cfg.get("loop_min_kf_gap", 0)),
+                radius=float(slam_cfg.get("loop_radius", 0.0)),
+                rot_limit=float(slam_cfg.get("loop_rot_limit", 0.0)),
+                inlier_th=float(slam_cfg.get("loop_inlier_th", 0.0)))
+        else:
+            self.tracker.set_loop_params(min_kf_gap=1 << 30)
         # express tracker-relative poses in the dataset's world frame, like
         # the reference anchors at the first GT pose (orbslam.py:25)
         self.world_ref = (np.asarray(world_ref, np.float32)

@@ -47,7 +47,8 @@ class SyntheticWallDataset:
     """Duck-typed dataset: __getitem__ -> (id, image, depth, pose)."""
 
     def __init__(self, n_frames: int = 12, step: float = 0.25,
-                 textured: bool = False):
+                 textured: bool = False, trajectory: str = "line",
+                 noise_sigma: float = 0.0):
         self.K = make_camera()
         self.intrinsics = self.K
         self.height, self.width = H, W
@@ -55,12 +56,21 @@ class SyntheticWallDataset:
         self.dataset_config = {"H": H, "W": W}
         # textured: paint a WORLD-anchored sinusoid into the blue channel so
         # dense photometric trackers (slam_module orbslam) have gradients;
-        # red keeps the class label, so masks/embeddings are unaffected
+        # red keeps the class label, so masks/embeddings are unaffected.
+        # noise_sigma: per-frame gaussian noise (uint8 units) on the blue
+        # channel, deterministically seeded by frame id -- the drift source
+        # for loop-closure tests.
         self.textured = textured
+        self.noise_sigma = noise_sigma
         self.poses = []
-        for i in range(n_frames):
+        if trajectory == "loop":
+            # out-and-back along +x: the return revisits early keyframes
+            xs = [min(i, n_frames - i) * step for i in range(n_frames)]
+        else:
+            xs = [(i - n_frames / 2) * step for i in range(n_frames)]
+        for x in xs:
             c2w = np.eye(4, dtype=np.float32)
-            c2w[0, 3] = (i - n_frames / 2) * step  # lateral translation
+            c2w[0, 3] = x
             self.poses.append(c2w)
 
     def __len__(self):
@@ -82,8 +92,12 @@ class SyntheticWallDataset:
         image[..., 0] = lab  # label encoded in red channel
         image[..., 1] = 128
         if self.textured:
-            tex = 128 + 80 * np.sin(3.0 * x) * np.cos(3.5 * y)
-            image[..., 2] = np.clip(tex, 0, 255).astype(np.uint8)
+            nz = (np.random.default_rng(1000 + index).normal(
+                0, self.noise_sigma, (H, W)) if self.noise_sigma > 0 else 0)
+            tex_b = 128 + 90 * np.sin(3.0 * x) * np.cos(3.5 * y)
+            tex_g = 128 + 90 * np.cos(2.2 * x + 0.7) * np.sin(2.7 * y + 0.3)
+            image[..., 1] = np.clip(tex_g + nz, 0, 255).astype(np.uint8)
+            image[..., 2] = np.clip(tex_b + nz, 0, 255).astype(np.uint8)
         return index, image, depth, self.poses[index]
 
 

@@ -205,6 +205,44 @@ def test_pipeline_orbslam_tier_e2e(tmp_path):
     assert (info["conf"] > 0.9).sum() >= 2  # one-hot embeds -> confident
 
 
+def test_pipeline_loop_closure_fires_through_pipeline(tmp_path):
+    """A drifted out-and-back run through the FULL OVOSemMap loop: the
+    native tracker detects the revisit, bumps big_change, and the
+    pipeline's map_updated glue calls SemanticMapper.update_map (dense map
+    rebuild + semantic LC) mid-run. Covers pipeline.py's loop-closure
+    branch, previously only unit-tested at the wrapper level."""
+    cfg = make_config()
+    cfg["slam"] = {"slam_module": "orbslam", "save_estimated_cam": True,
+                   "kf_trans_th": 0.05, "kf_rot_th": 0.15,
+                   "kf_inlier_th": 0.6,
+                   "loop_min_kf_gap": 5, "loop_radius": 0.15,
+                   "loop_rot_limit": 1.0, "loop_inlier_th": 0.3}
+    # noisy out-and-back: odometry drifts on the way out, the return to
+    # x~0 revisits the first keyframes
+    ds = SyntheticWallDataset(n_frames=40, step=0.05, textured=True,
+                              trajectory="loop", noise_sigma=15.0)
+    embeds = class_embeddings(16)
+    text_embeds = {f"This is a photo of a {c}": embeds[i]
+                   for i, c in enumerate(CLASSES)}
+    text_embeds.update({c: embeds[i] for i, c in enumerate(CLASSES)})
+    embedder = RecordedEmbedder(16, mask_label_fn, embeds, text_embeds)
+    mask_source = CallableMaskSource(synthetic_mask_fn, max_masks=16)
+    sem_map = OVOSemMap(cfg, tmp_path, mask_source=mask_source,
+                        embedder=embedder, dataset=ds)
+    sem_map.run()
+
+    assert sem_map.slam_backbone.last_big_change >= 1, \
+        "loop closure never fired through the pipeline"
+    # the corrected final pose must be back near the start
+    last_fid = max(sem_map.slam_backbone.estimated_c2ws)
+    final = np.asarray(sem_map.slam_backbone.estimated_c2ws[last_fid])
+    assert abs(final[0, 3] - ds.poses[last_fid][0, 3]) < 0.06
+    # map and instances survive the mid-run rebuild
+    assert int(sem_map.slam_backbone.state.count) > 500
+    info = sem_map.ovo.classify_instances(CLASSES)
+    assert (info["conf"] > 0.9).sum() >= 2
+
+
 def test_pipeline_restore_map_resume(tmp_path):
     """Mid-run resume (reference ovomapping.py:68-71,102-116): run half the
     scene, checkpoint, rebuild with restore_map=True, continue — the resumed
