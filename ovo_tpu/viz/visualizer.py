@@ -251,13 +251,20 @@ class Visualizer:
 
     def visualize_and_query(self, points, obj_ids, colors=None,
                             queries: Optional[Sequence[str]] = None,
-                            show_obbs: bool = False) -> None:
+                            show_obbs: bool = False,
+                            interactive: bool = False) -> None:
+        """``interactive=True`` requests the GUI query app explicitly
+        (reference --visualize_interactive_query); without open3d it
+        degrades to the headless PLY exports with a warning."""
         points = np.asarray(points)
         obj_ids = np.asarray(obj_ids).reshape(-1)
         if show_obbs:
             self.output_dir.mkdir(parents=True, exist_ok=True)
             export_obb_lineset(self.output_dir / "map_obbs.ply",
                                instance_obbs(points, obj_ids))
+        if interactive and not _HAS_O3D:
+            print("[viz] --visualize_interactive_query requested but open3d "
+                  "is unavailable; falling back to headless PLY exports")
         if not _HAS_O3D:
             export_colored_pcd(self.output_dir, points, obj_ids, colors)
             for q in queries or []:

@@ -130,6 +130,40 @@ def test_gt_vs_pred_view(tmp_path):
     assert (tmp_path / "out" / "gt_vs_pred.ply").exists()
 
 
+def test_gt_vs_pred_from_run_reference_layout(tmp_path):
+    """Reference-style derived gt-vs-pred (--visualize_gt_vs_pre,
+    reference visualize_scene.py:14-67): paths derived from the run's
+    config.yaml + working_dir, eval info from
+    data/working/configs/<Dataset>/."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from visualize_scene import gt_vs_pred_from_run
+
+    wd = tmp_path
+    run = wd / "out" / "exp" / "sc0"
+    run.mkdir(parents=True)
+    yaml.safe_dump({"dataset_name": "replica",
+                    "data": {"scene_name": "sc0"}},
+                   open(run / "config.yaml", "w"))
+    info_dir = wd / "data/working/configs/Replica"
+    info_dir.mkdir(parents=True)
+    yaml.safe_dump({"dataset": "semantic_pred",
+                    "map_to_reduced": {93: 0, 20: 3},
+                    "ignore": [-1]},
+                   open(info_dir / "eval_info.yaml", "w"))
+    data_dir = wd / "data/input/Datasets/Replica"
+    (data_dir / "semantic_gt").mkdir(parents=True)
+    vtx = np.zeros((4, 3), np.float32)
+    write_ascii_ply(data_dir / "sc0_mesh.ply", vtx)
+    io_utils.write_labels(data_dir / "semantic_gt" / "sc0.txt",
+                          np.array([93, 93, 20, 7]))
+    pred_dir = run.parent / "semantic_pred"
+    pred_dir.mkdir()
+    io_utils.write_labels(pred_dir / "sc0.txt", np.array([0, 1, 3, 0]))
+    gt_vs_pred_from_run(run, wd, "eval_info.yaml")
+    assert (run / "vis_out" / "gt_vs_pred.ply").exists()
+
+
 def test_instance_obbs_recover_box_geometry(tmp_path, rng):
     """PCA OBBs (reference OBB view): a rotated box of points yields an OBB
     with the right extent regardless of orientation."""
