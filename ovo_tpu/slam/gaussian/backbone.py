@@ -34,21 +34,54 @@ class WrapperGaussianSLAM:
         tracking = config.get("tracking", {}) or {}
         capacity = int(mapping.get("n_gaussians_capacity", 2 ** 20))
         self.state: GaussianState = init_gaussian_state(capacity)
+        # reference key names (slam/gaussian_slam/*.yaml) are accepted
+        # first, with this package's names as fallbacks
+        dataset_name = str(config.get("dataset_name", "")).lower()
         self.cfg = MapperConfig(
             iters=int(mapping.get("iterations", 60)),
-            prune_opacity_th=float(mapping.get("prune_opacity_th", 0.1)),
+            prune_opacity_th=float(
+                mapping.get("pruning_thre",
+                            mapping.get("prune_opacity_th", 0.1))),
             max_seeds=int(mapping.get("max_seeds", 16384)),
-            dedup_radius=float(mapping.get("dedup_radius", 0.02)),
+            dedup_radius=float(
+                mapping.get("new_points_radius",
+                            mapping.get("dedup_radius", 0.02))),
             k_per_tile=int(mapping.get("k_per_tile", 64)),
             densify_grad_th=float(mapping.get("densify_grad_th", 0.0)),
             densify_percent_dense=float(
                 mapping.get("densify_percent_dense", 0.01)),
+            new_submap_iters=int(mapping.get("new_submap_iterations", 0)),
+            new_submap_max_seeds=int(
+                mapping.get("new_submap_points_num",
+                            mapping.get("new_submap_max_seeds", 0))),
+            current_frame_frac=float(
+                mapping.get("current_view_opt_iterations", 0.4)),
+            alpha_th=float(mapping.get("alpha_thre", 0.6)),
+            # ref mapper.py:89 seeds at 1.005*depth; on constant-depth
+            # (flat synthetic) scenes that puts EVERY seed behind the
+            # association frustum's far plane (geometry_utils.py:99-129
+            # has no slack) -- such scenes should pin 1.0
+            seed_depth_mult=float(mapping.get("seed_depth_mult", 1.005)),
+            # ref mapper.py:135 filter_cloud: statistical seed-outlier
+            # filtering only for the noisy-sensor datasets
+            filter_seed_outliers=bool(mapping.get(
+                "filter_seed_outliers",
+                dataset_name in ("scannet", "tum_rgbd", "tum"))),
         )
         self.track_iters = int(tracking.get("iterations", 60))
         self.gt_camera = bool(tracking.get("gt_camera", False))
         self.adaptive_loss_th = float(tracking.get("adaptive_loss_th", 0.0))
         self.odometer = None
-        if tracking.get("init", "const_speed") == "odometry":
+        # reference key: tracking.odometry_type in {gt, const_speed,
+        # odometer} (slam/gaussian_slam/*.yaml); "odometer" maps to this
+        # package's native-odometry pose init
+        odo_type = tracking.get("odometry_type")
+        if odo_type == "gt":
+            self.gt_camera = True
+        init = tracking.get("init",
+                            "odometry" if odo_type == "odometer"
+                            else "const_speed")
+        if init == "odometry":
             try:
                 from .odometer import VisualOdometer
 

@@ -26,7 +26,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...ops.knn import radius_dedup_mask
+from ...ops.knn import approx_knn_mean_dist, radius_dedup_mask
 from ...ops.splat import render_gaussians
 from .losses import isotropic_loss, ssim
 from .model import GaussianState, add_points, prune_by_opacity
@@ -79,7 +79,7 @@ def select_seeds(mask: Array, depth: Array, image: Array, w2c: Array,
     edge = sobel_edge_mask(image.mean(-1))
     score = h.astype(jnp.float32) + jnp.where(edge, 65536.0, 0.0)
     score = jnp.where(mask, score, -jnp.inf).reshape(-1)
-    top = jax.lax.top_k(score, max_seeds)
+    top = jax.lax.top_k(score, min(max_seeds, score.shape[0]))
     idx = top[1]
     valid = jnp.isfinite(top[0])
     uu = (idx % W).astype(jnp.float32)
@@ -114,6 +114,19 @@ class MapperConfig(NamedTuple):
     # never invokes its vendored clone/split machinery)
     densify_grad_th: float = 0.0
     densify_percent_dense: float = 0.01
+    # reference knobs (slam/gaussian_slam/*.yaml): frame-0 ("new submap" --
+    # the reference only ever opens one, gaussian_slam.py:61) gets more
+    # iterations and a denser seed budget
+    new_submap_iters: int = 0        # ref new_submap_iterations; 0 -> iters
+    new_submap_max_seeds: int = 0    # ref new_submap_points_num; 0 -> max_seeds
+    current_frame_frac: float = 0.4  # ref current_view_opt_iterations
+    alpha_th: float = 0.6            # ref mapping.alpha_thre
+    seed_depth_mult: float = 1.005   # ref mapper.py:89 (1.005 * depth)
+    # statistical-outlier seed filter (ref grow_submap filter_cloud for
+    # TUM/ScanNet: remove_statistical_outlier(40, 2.0)); TPU analogue is the
+    # Morton-window kNN mean distance thresholded at mean + std_ratio*std
+    filter_seed_outliers: bool = False
+    seed_outlier_std: float = 2.0
 
 
 OPT_FIELDS = ("xyz", "f_dc", "scales_log", "quats", "opacity_logit")
@@ -202,14 +215,19 @@ def optimize_submap(state: GaussianState, kf_images: Array, kf_depths: Array,
     return out
 
 
-def keyframe_sampling_schedule(iters: int, window: int, seed: int) -> "np":
-    """Host-side keyframe index schedule (mapper_utils.py:9-23): ~half the
-    iterations on the newest keyframe, the rest uniform over the window."""
+def keyframe_sampling_schedule(iters: int, window: int, seed: int,
+                               cur_frac: float = 0.4) -> "np":
+    """Host-side keyframe index schedule (mapper_utils.py:8-22): the newest
+    keyframe draws a ``cur_frac`` share of the iterations (reference
+    ``current_view_opt_iterations``), the rest uniform over the OTHER
+    keyframes in the window."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    sched = rng.integers(0, max(window, 1), size=iters)
-    cur = rng.random(iters) < 0.5
+    if window <= 1:
+        return np.zeros(iters, np.int32)
+    sched = rng.integers(0, window - 1, size=iters)
+    cur = rng.random(iters) < cur_frac
     sched[cur] = window - 1
     return sched.astype(np.int32)
 
@@ -226,17 +244,34 @@ def map_keyframe(state: GaussianState, image: Array, depth: Array,
     schedule (the newest live keyframe sits at index n_live_kfs - 1)."""
     m = seeding_mask(state, image, depth, w2c, K,
                      jnp.asarray(is_new_submap), img_hw=img_hw,
-                     tile=cfg.tile, k_per_tile=cfg.k_per_tile)
-    pts, cols, valid = select_seeds(m, depth, image, w2c, K,
-                                    max_seeds=cfg.max_seeds)
+                     alpha_th=cfg.alpha_th, tile=cfg.tile,
+                     k_per_tile=cfg.k_per_tile)
+    # frame 0 opens the (single) submap with a denser seed budget and a
+    # longer optimization (ref new_submap_points_num/new_submap_iterations)
+    max_seeds = cfg.max_seeds
+    n_iters = cfg.iters
+    if is_new_submap:
+        max_seeds = min(cfg.new_submap_max_seeds or max_seeds,
+                        depth.shape[0] * depth.shape[1])
+        n_iters = cfg.new_submap_iters or n_iters
+    pts, cols, valid = select_seeds(m, depth * cfg.seed_depth_mult, image,
+                                    w2c, K, max_seeds=max_seeds)
+    if cfg.filter_seed_outliers and not is_new_submap:
+        d = approx_knn_mean_dist(pts, valid, k=3)
+        dv = jnp.where(valid, d, jnp.nan)
+        th = (jnp.nanmean(dv)
+              + cfg.seed_outlier_std * jnp.nanstd(dv))
+        valid = valid & (d <= th)
     keep = radius_dedup_mask(pts, valid, state.xyz, state.valid,
                              cfg.dedup_radius)
     state = add_points(state, pts, cols, keep)
     window = n_live_kfs if n_live_kfs is not None else kf_images.shape[0]
-    sched = jnp.asarray(keyframe_sampling_schedule(cfg.iters, window, seed))
+    sched = jnp.asarray(keyframe_sampling_schedule(
+        n_iters, window, seed, cur_frac=cfg.current_frame_frac))
     if cfg.densify_grad_th <= 0:
         state = optimize_submap(state, kf_images, kf_depths, kf_w2cs, sched,
-                                K, img_hw=img_hw, cfg=cfg)
+                                K, img_hw=img_hw,
+                                cfg=cfg._replace(iters=n_iters))
         return prune_by_opacity(state, cfg.prune_opacity_th)
 
     # densify cadence: optimize half, clone/split on the accumulated
@@ -249,7 +284,7 @@ def map_keyframe(state: GaussianState, image: Array, depth: Array,
     v = jax.tree_util.tree_map(jnp.zeros_like, params0)
     ga = jnp.zeros((state.capacity,), jnp.float32)
     dn = jnp.zeros((state.capacity,), jnp.int32)
-    half = max(cfg.iters // 2, 1)
+    half = max(n_iters // 2, 1)
     state, m, v, ga, dn = optimize_phase(
         state, m, v, ga, dn, kf_images, kf_depths, kf_w2cs, sched, K,
         img_hw=img_hw, cfg=cfg, it0=0, n_iters=half)
@@ -264,5 +299,5 @@ def map_keyframe(state: GaussianState, image: Array, depth: Array,
     v = jax.tree_util.tree_map(zero, v)
     state, _, _, _, _ = optimize_phase(
         state, m, v, ga, dn, kf_images, kf_depths, kf_w2cs, sched, K,
-        img_hw=img_hw, cfg=cfg, it0=half, n_iters=cfg.iters - half)
+        img_hw=img_hw, cfg=cfg, it0=half, n_iters=n_iters - half)
     return prune_by_opacity(state, cfg.prune_opacity_th)

@@ -184,6 +184,75 @@ def test_map_keyframe_seeds_and_improves():
     assert n_valid(state2) - n_before < 0.5 * n_before
 
 
+def test_new_submap_knobs_give_denser_seeds():
+    """Frame 0 uses the new_submap seed budget (reference
+    new_submap_points_num, mapper.py:93-101), later frames max_seeds."""
+    rng = np.random.default_rng(5)
+    H, W = IMG_HW
+    depth = np.full((H, W), 2.0, np.float32)
+    image = rng.uniform(0.2, 0.8, (H, W, 3)).astype(np.float32)
+    w2c = jnp.asarray(np.eye(4, dtype=np.float32))
+    cfg = MapperConfig(iters=2, max_seeds=256, new_submap_max_seeds=2048,
+                       new_submap_iters=3, dedup_radius=1e-7, k_per_tile=32)
+    kf_i = jnp.asarray(image[None])
+    kf_d = jnp.asarray(depth[None])
+    kf_w = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+    state = map_keyframe(init_gaussian_state(8192), jnp.asarray(image),
+                         jnp.asarray(depth), w2c, jnp.asarray(K), kf_i, kf_d,
+                         kf_w, is_new_submap=True, seed=0, img_hw=IMG_HW,
+                         cfg=cfg)
+    assert n_valid(state) > 1024  # frame 0 seeded past max_seeds
+
+    state2 = map_keyframe(init_gaussian_state(8192), jnp.asarray(image),
+                          jnp.asarray(depth), w2c, jnp.asarray(K), kf_i,
+                          kf_d, kf_w, is_new_submap=False, seed=0,
+                          img_hw=IMG_HW, cfg=cfg)
+    assert n_valid(state2) <= 256  # ordinary frames keep the small budget
+
+
+def test_seed_outlier_filter_drops_isolated_points():
+    """filter_seed_outliers (reference grow_submap filter_cloud,
+    mapper.py:195-197: remove_statistical_outlier for ScanNet/TUM) drops
+    isolated depth-spike seeds but keeps the wall."""
+    rng = np.random.default_rng(6)
+    H, W = IMG_HW
+    depth = np.full((H, W), 2.0, np.float32)
+    for r, c in [(10, 10), (30, 50), (40, 20)]:
+        depth[r, c] = 30.0  # isolated spikes -> far, lonely 3D points
+    image = rng.uniform(0.2, 0.8, (H, W, 3)).astype(np.float32)
+    w2c = jnp.asarray(np.eye(4, dtype=np.float32))
+    kf_i = jnp.asarray(image[None])
+    kf_d = jnp.asarray(depth[None])
+    kf_w = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+
+    def run(filter_on):
+        cfg = MapperConfig(iters=2, max_seeds=4096, dedup_radius=1e-7,
+                           k_per_tile=32, filter_seed_outliers=filter_on,
+                           prune_opacity_th=0.0)
+        return map_keyframe(init_gaussian_state(8192), jnp.asarray(image),
+                            jnp.asarray(depth), w2c, jnp.asarray(K), kf_i,
+                            kf_d, kf_w, is_new_submap=False, seed=0,
+                            img_hw=IMG_HW, cfg=cfg)
+
+    st_off = run(False)
+    far_off = (np.asarray(st_off.xyz)[np.asarray(st_off.valid)][:, 2] > 20)
+    assert far_off.sum() == 3  # without the filter the spikes seed
+
+    st_on = run(True)
+    pts_on = np.asarray(st_on.xyz)[np.asarray(st_on.valid)]
+    assert (pts_on[:, 2] > 20).sum() == 0  # filtered
+    assert len(pts_on) > 2000  # wall survives
+
+
+def test_keyframe_schedule_current_frame_share():
+    from ovo_tpu.slam.gaussian.mapper import keyframe_sampling_schedule
+
+    sched = keyframe_sampling_schedule(4000, 5, seed=0, cur_frac=0.4)
+    share = (sched == 4).mean()
+    assert 0.3 < share < 0.5  # newest keyframe draws ~cur_frac of iters
+    assert set(np.unique(sched)) <= {0, 1, 2, 3, 4}
+
+
 # -------------------------------------------------------------- backbone --
 def test_gaussian_backbone_in_pipeline(tmp_path):
     from ovo_tpu.data.masks import CallableMaskSource, RecordedEmbedder
@@ -195,9 +264,13 @@ def test_gaussian_backbone_in_pipeline(tmp_path):
     config = {
         "dataset_name": "synthetic", "use_wandb": False, "debug": False,
         "slam": {"slam_module": "gaussian_slam", "save_estimated_cam": True},
+        # seed_depth_mult 1.0: the reference's 1.005*depth seeding
+        # (mapper.py:89) places every seed of a CONSTANT-depth wall behind
+        # the association frustum far plane (= max depth, no slack), so the
+        # flat synthetic scene must seed at true depth
         "mapping": {"map_every": 2, "iterations": 12, "max_seeds": 2048,
                     "n_gaussians_capacity": 1 << 15, "keyframe_window": 3,
-                    "k_per_tile": 32},
+                    "k_per_tile": 32, "seed_depth_mult": 1.0},
         "tracking": {"track_every": 1, "gt_camera": True},
         "data": {"scene_name": "wall0"}, "cam": {},
         "semantic": {
