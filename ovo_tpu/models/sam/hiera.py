@@ -135,6 +135,13 @@ def _window_partition(x: Array, ws: int) -> Tuple[Array, Tuple[int, int]]:
     return (x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C), (Hp, Wp))
 
 
+def _pad_mask(B: int, Hc: int, Wc: int, ws: int) -> Array:
+    """1.0 over real tokens / 0.0 over window padding, in blocked layout
+    (B*nW, ws, ws, 1). Input-independent, so XLA constant-folds it."""
+    m = jnp.ones((B, Hc, Wc, 1), jnp.float32)
+    return _window_partition(m, ws)[0]
+
+
 def _window_unpartition(xw: Array, ws: int, n_wh: int, n_ww: int,
                         out_hw: Tuple[int, int], B: int) -> Array:
     C = xw.shape[-1]
@@ -197,34 +204,57 @@ def hiera_forward(params: Params, cfg: HieraConfig, imgs: Array
     tiled = jnp.tile(win, (-(-H // win.shape[0]), -(-W // win.shape[1]), 1))
     x = x + (pos + tiled[:H, :W]).astype(x.dtype)
 
+    # The residual stream STAYS in the blocked window layout (B*nW, ws, ws,
+    # C) across runs of same-window blocks -- LN/MLP/residual are
+    # position-wise and window attention is window-local, so only window-
+    # size changes, global-attention blocks, and stage outputs pay a
+    # partition/unpartition transpose (2 copies of the full activation each
+    # on the old per-block scheme; ~15 total instead of ~90 for hiera_l).
+    # Numerics are EXACTLY the per-block scheme's: window padding re-zeroes
+    # post-norm1 (reference partitions zeros after norm1, so pad attention
+    # keys are the qkv bias either way), and pooled pad lanes never cross
+    # into real lanes (stride 2 divides the window size).
     layout = cfg.block_layout()
     outputs: List[Array] = []
+    lws = 0            # current blocked window size; 0 = spatial layout
+    Hc, Wc = H, W      # true spatial extent of the token map
+    Hp = Wp = 0        # window-padded extent while blocked
+
+    def unblock(t: Array, ws: int) -> Array:
+        return _window_unpartition(t, ws, Hp // ws, Wp // ws, (Hc, Wc), B)
+
     for i, (blk, (din, dout, heads, ws, do_pool)) in enumerate(
             zip(params["blocks"], layout)):
-        Hc, Wc = x.shape[1], x.shape[2]
+        if ws > 0 and lws != ws:
+            if lws:
+                x = unblock(x, lws)
+            x, (Hp, Wp) = _window_partition(x, ws)
+            lws = ws
+        elif ws == 0 and lws:
+            x = unblock(x, lws)
+            lws = 0
+
         xn = L.layer_norm(blk["norm1"], x)
+        if lws and (Hp != Hc or Wp != Wc):
+            # pads accumulate residual garbage while the layout persists;
+            # attention keys must see exact zeros (XLA fuses the multiply
+            # into the LN epilogue)
+            xn = xn * _pad_mask(B, Hc, Wc, lws).astype(xn.dtype)
         shortcut = x
         if din != dout:
             shortcut = L.linear(blk["proj"], xn)
         if do_pool:
             shortcut = _max_pool2x(shortcut, cfg.q_stride)
         q_pool = cfg.q_stride if do_pool else None
-
-        if ws > 0:
-            xw, (Hp, Wp) = _window_partition(xn, ws)
-            aw = _mh_attention(blk["attn"], xw, heads, dout, q_pool)
-            if q_pool:
-                pw = ws // q_pool
-                att = _window_unpartition(aw, pw, Hp // ws, Wp // ws,
-                                          shortcut.shape[1:3], B)
-            else:
-                att = _window_unpartition(aw, ws, Hp // ws, Wp // ws,
-                                          (Hc, Wc), B)
-        else:
-            att = _mh_attention(blk["attn"], xn, heads, dout, q_pool)
+        att = _mh_attention(blk["attn"], xn, heads, dout, q_pool)
+        if do_pool:
+            Hc, Wc = Hc // cfg.q_stride, Wc // cfg.q_stride
+            if lws:
+                Hp, Wp = Hp // cfg.q_stride, Wp // cfg.q_stride
+                lws //= cfg.q_stride
 
         x = shortcut + att
         x = x + L.mlp(blk["mlp"], L.layer_norm(blk["norm2"], x))
         if i in cfg.stage_ends:
-            outputs.append(x)
+            outputs.append(unblock(x, lws) if lws else x)
     return outputs

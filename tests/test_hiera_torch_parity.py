@@ -130,10 +130,18 @@ def torch_hiera_forward(params, cfg, img):
     return torch_outs
 
 
-def test_hiera_forward_matches_torch_oracle(rng):
+import pytest
+
+
+@pytest.mark.parametrize("S", [64, 72])
+def test_hiera_forward_matches_torch_oracle(rng, S):
+    """S=64 -> 16x16 tokens, every stage window-aligned. S=72 -> 18x18
+    tokens: stage-0/1 windows pad (18->24, 9->12) and the stage-1->2 pool
+    runs on an ODD extent (9->4, floor) -- this exercises the blocked-
+    layout pad re-zeroing and pad-lane pooling against the reference's
+    pad-fresh-zeros-every-block scheme."""
     cfg = HIERA_CONFIGS["hiera_test"]
     params = init_hiera(jax.random.PRNGKey(7), cfg)
-    S = 64  # input image size -> 16x16 token grid after the stride-4 patch
     img = rng.standard_normal((1, S, S, 3)).astype(np.float32)
 
     outs = hiera_forward(params, cfg, jnp.asarray(img))
