@@ -71,6 +71,21 @@ class WrapperGaussianSLAM:
         self.track_iters = int(tracking.get("iterations", 60))
         self.gt_camera = bool(tracking.get("gt_camera", False))
         self.adaptive_loss_th = float(tracking.get("adaptive_loss_th", 0.0))
+        # reference tracking knobs (slam/gaussian_slam/*.yaml):
+        # total = w_color_loss * color + (1 - w_color_loss) * depth
+        # (tracker.py:178); alpha/soft-alpha masking (tracker.py:91-106);
+        # init_err_ratio doubles iterations when the initial loss exceeds
+        # ratio x median of recorded final losses (tracker.py:155-159)
+        w_color = tracking.get("w_color_loss")
+        self.track_color_w = float(w_color) if w_color is not None else 0.5
+        self.track_depth_w = (1.0 - float(w_color)
+                              if w_color is not None else 1.0)
+        self.track_lr_q = float(tracking.get("cam_rot_lr", 2e-4))
+        self.track_lr_t = float(tracking.get("cam_trans_lr", 2e-3))
+        self.track_alpha_th = float(tracking.get("alpha_thre", 0.98))
+        self.track_soft_alpha = bool(tracking.get("soft_alpha", True))
+        self.init_err_ratio = float(tracking.get("init_err_ratio", 0.0))
+        self._track_loss_hist: List[float] = []
         self.odometer = None
         # reference key: tracking.odometry_type in {gt, const_speed,
         # odometer} (slam/gaussian_slam/*.yaml); "odometer" maps to this
@@ -129,11 +144,22 @@ class WrapperGaussianSLAM:
                           if np.asarray(image).dtype == np.uint8
                           else np.asarray(image, np.float32))
         dep = jnp.asarray(np.asarray(depth, np.float32))
+        adaptive_th = self.adaptive_loss_th
+        if self.init_err_ratio > 0 and self._track_loss_hist:
+            adaptive_th = (self.init_err_ratio
+                           * float(np.median(self._track_loss_hist)))
         res = track_pose(self.state, img, dep, jnp.linalg.inv(c2w_init),
                          self.K, img_hw=dep.shape,
                          iters=self.track_iters,
-                         adaptive_loss_th=self.adaptive_loss_th,
+                         color_w=self.track_color_w,
+                         depth_w=self.track_depth_w,
+                         lr_q=self.track_lr_q, lr_t=self.track_lr_t,
+                         alpha_th=self.track_alpha_th,
+                         soft_alpha=self.track_soft_alpha,
+                         adaptive_loss_th=adaptive_th,
                          k_per_tile=self.cfg.k_per_tile)
+        if self.init_err_ratio > 0:
+            self._track_loss_hist.append(float(res.loss))
         c2w = np.asarray(jnp.linalg.inv(res.w2c), np.float32)
         self.estimated_c2ws[frame_id] = c2w
 

@@ -80,8 +80,7 @@ class TrackResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("img_hw", "iters", "adaptive_loss_th", "tile",
-                     "k_per_tile"))
+    static_argnames=("img_hw", "iters", "soft_alpha", "tile", "k_per_tile"))
 def track_pose(state: GaussianState, image: Array, depth: Array,
                w2c_init: Array, K: Array, *, img_hw: Tuple[int, int],
                iters: int = 60, lr_q: float = 2e-4, lr_t: float = 2e-3,
@@ -130,8 +129,11 @@ def track_pose(state: GaussianState, image: Array, depth: Array,
 
     b1, b2, eps = 0.9, 0.999, 1e-8
     budget = jnp.asarray(iters, jnp.int32)
-    if adaptive_loss_th > 0:
-        budget = jnp.where(init_loss > adaptive_loss_th, 2 * budget, budget)
+    # adaptive_loss_th is a TRACED scalar so the caller can derive it per
+    # frame (reference tracker.py:155-159: init_err_ratio x running median
+    # of final losses) without recompiling; <= 0 disables
+    th = jnp.asarray(adaptive_loss_th, jnp.float32)
+    budget = jnp.where((th > 0) & (init_loss > th), 2 * budget, budget)
 
     def cond(carry):
         return carry[0] < budget

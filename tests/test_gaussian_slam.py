@@ -253,6 +253,32 @@ def test_keyframe_schedule_current_frame_share():
     assert set(np.unique(sched)) <= {0, 1, 2, 3, 4}
 
 
+def test_tracking_knob_plumbing():
+    """Reference tracking keys (slam/gaussian_slam/*.yaml) reach the
+    tracker: w_color_loss splits into color/depth weights (tracker.py:178),
+    lrs/alpha/soft_alpha pass through, odometry_type maps onto the pose
+    init."""
+    from ovo_tpu.slam.gaussian.backbone import WrapperGaussianSLAM
+
+    bk = WrapperGaussianSLAM(
+        {"dataset_name": "replica",
+         "mapping": {"iterations": 2, "n_gaussians_capacity": 1 << 10},
+         "tracking": {"w_color_loss": 0.95, "cam_rot_lr": 1e-3,
+                      "cam_trans_lr": 5e-3, "soft_alpha": False,
+                      "alpha_thre": 0.9, "init_err_ratio": 5,
+                      "odometry_type": "const_speed"}}, K)
+    assert bk.track_color_w == 0.95
+    assert abs(bk.track_depth_w - 0.05) < 1e-9
+    assert bk.track_lr_q == 1e-3 and bk.track_lr_t == 5e-3
+    assert bk.track_soft_alpha is False and bk.track_alpha_th == 0.9
+    assert bk.init_err_ratio == 5.0
+
+    bk2 = WrapperGaussianSLAM(
+        {"dataset_name": "replica", "mapping": {},
+         "tracking": {"odometry_type": "gt"}}, K)
+    assert bk2.gt_camera  # reference odometry_type: gt
+
+
 # -------------------------------------------------------------- backbone --
 def test_gaussian_backbone_in_pipeline(tmp_path):
     from ovo_tpu.data.masks import CallableMaskSource, RecordedEmbedder
