@@ -84,6 +84,11 @@ class WrapperGaussianSLAM:
         self.track_lr_t = float(tracking.get("cam_trans_lr", 2e-3))
         self.track_alpha_th = float(tracking.get("alpha_thre", 0.98))
         self.track_soft_alpha = bool(tracking.get("soft_alpha", True))
+        self.track_filter_alpha = bool(tracking.get("filter_alpha", False))
+        self.track_filter_outlier = bool(
+            tracking.get("filter_outlier_depth", True))
+        self.track_mask_invalid = bool(
+            tracking.get("mask_invalid_depth", False))
         self.init_err_ratio = float(tracking.get("init_err_ratio", 0.0))
         self._track_loss_hist: List[float] = []
         self.odometer = None
@@ -156,6 +161,9 @@ class WrapperGaussianSLAM:
                          lr_q=self.track_lr_q, lr_t=self.track_lr_t,
                          alpha_th=self.track_alpha_th,
                          soft_alpha=self.track_soft_alpha,
+                         filter_alpha=self.track_filter_alpha,
+                         filter_outlier_depth=self.track_filter_outlier,
+                         mask_invalid_depth=self.track_mask_invalid,
                          adaptive_loss_th=adaptive_th,
                          k_per_tile=self.cfg.k_per_tile)
         if self.init_err_ratio > 0:

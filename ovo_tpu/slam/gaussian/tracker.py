@@ -80,12 +80,16 @@ class TrackResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("img_hw", "iters", "soft_alpha", "tile", "k_per_tile"))
+    static_argnames=("img_hw", "iters", "soft_alpha", "filter_alpha",
+                     "filter_outlier_depth", "mask_invalid_depth", "tile",
+                     "k_per_tile"))
 def track_pose(state: GaussianState, image: Array, depth: Array,
                w2c_init: Array, K: Array, *, img_hw: Tuple[int, int],
                iters: int = 60, lr_q: float = 2e-4, lr_t: float = 2e-3,
                color_w: float = 0.5, depth_w: float = 1.0,
                alpha_th: float = 0.98, soft_alpha: bool = True,
+               filter_alpha: bool = False, filter_outlier_depth: bool = True,
+               mask_invalid_depth: bool = False,
                adaptive_loss_th: float = 0.0,
                tile: int = 16, k_per_tile: int = 64) -> TrackResult:
     """Optimize the camera pose against one RGB-D frame.
@@ -110,19 +114,31 @@ def track_pose(state: GaussianState, image: Array, depth: Array,
         out = render_gaussians(state.xyz, scales, state.quats, opac, cols,
                                state.valid, w2c, K, img_hw=img_hw,
                                tile=tile, k_per_tile=k_per_tile)
-        # masks (tracker.py:50-106): trust only well-covered pixels, reject
-        # depth outliers (> 10x median abs error)
+        # masks: EXACT reference composition (tracker.py:81-106) --
+        # tracking_mask = valid depth [& alpha coverage] [& 50x-median depth
+        # outlier gate]; depth loss always masked; color loss soft-weighted
+        # by alpha^3 (optionally also masked) or hard-masked. Losses are
+        # SUMS like the reference; Adam's per-parameter normalization makes
+        # the trajectory invariant to the scale.
         alpha = out.alpha
-        covered = alpha > alpha_th
-        d_err = jnp.abs(out.depth - depth)
-        med = jnp.median(jnp.where(depth_valid, d_err, 0.0))
-        inlier = d_err < 10.0 * jnp.maximum(med, 1e-6)
-        m = covered & depth_valid & inlier
-        w = jnp.where(m, alpha if soft_alpha else 1.0, 0.0)
-        n = jnp.maximum(w.sum(), 1.0)
-        c_l1 = (jnp.abs(out.color - image).mean(-1) * w).sum() / n
-        d_l1 = (jnp.abs(out.depth - depth) * w).sum() / n
-        return color_w * c_l1 + depth_w * d_l1
+        tm = depth_valid
+        if filter_alpha:
+            tm = tm & (alpha > alpha_th)
+        d_err = jnp.abs(out.depth - depth) * depth_valid
+        if filter_outlier_depth:
+            med = jnp.median(d_err)
+            tm = tm & jnp.where(med > 0, d_err < 50.0 * med, True)
+        c_l1 = jnp.abs(out.color - image).sum(-1)
+        d_l1 = jnp.abs(out.depth - depth) * tm
+        if soft_alpha:
+            a3 = alpha ** 3
+            if mask_invalid_depth:
+                c_l1 = c_l1 * tm
+            c_l1 = c_l1 * a3
+            d_l1 = d_l1 * a3
+        else:
+            c_l1 = c_l1 * tm
+        return color_w * c_l1.sum() + depth_w * d_l1.sum()
 
     grad_fn = jax.value_and_grad(render_loss, argnums=(0, 1))
     init_loss = render_loss(q0, t0)
