@@ -259,6 +259,18 @@ class WrapperGaussianSLAM:
     def get_kfs(self):
         return self.kfs
 
+    # -- gaussian ply IO (sem_gaussian_model.py:59-158) --------------------
+    def save_ply(self, path) -> None:
+        from .model import save_gaussian_ply
+
+        save_gaussian_ply(self.state, path)
+
+    def load_ply(self, path) -> None:
+        from .model import load_gaussian_ply
+
+        self.state = load_gaussian_ply(path, self.state.capacity)
+        self._view_perm = None
+
     # -- checkpointing (sem_gaussian_model.py capture layout) -------------
     def get_map_dict(self) -> Dict[str, Any]:
         return gaussian_map_dict(self.state)

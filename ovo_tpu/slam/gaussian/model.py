@@ -280,3 +280,87 @@ def from_gaussian_map_dict(d: dict, capacity: int) -> GaussianState:
         valid=st.valid.at[:n].set(True),
         next_id=jnp.asarray(int(d["max_id"]), jnp.int32),
     )
+
+
+# --------------------------------------------------------------------------
+# Gaussian PLY IO (reference sem_gaussian_model.py:59-158 save_ply/load_ply:
+# raw parameters as all-f4 vertex properties, obj/instance ids included).
+# Written directly as binary_little_endian -- no plyfile in this image.
+# --------------------------------------------------------------------------
+
+_PLY_PROPS = ("x", "y", "z", "nx", "ny", "nz", "f_dc_0", "f_dc_1", "f_dc_2",
+              "opacity", "scale_0", "scale_1", "scale_2",
+              "rot_0", "rot_1", "rot_2", "rot_3", "obj_0", "ids")
+
+
+def save_gaussian_ply(state: GaussianState, path) -> None:
+    """Write the live gaussians in the reference's 3DGS ply layout
+    (sem_gaussian_model.py:59-95): raw (pre-activation) parameters, zero
+    normals, instance id as obj_0 and stable id as ids, every property f4
+    like the reference's dtype_full."""
+    import os
+
+    import numpy as np
+
+    d = gaussian_map_dict(state)
+    n = d["xyz"].shape[0]
+    arr = np.zeros(n, dtype=[(p, "<f4") for p in _PLY_PROPS])
+    arr["x"], arr["y"], arr["z"] = d["xyz"].T
+    for i in range(3):
+        arr[f"f_dc_{i}"] = d["f_dc"][:, i]
+        arr[f"scale_{i}"] = d["scales_log"][:, i]
+    arr["opacity"] = d["opacity_logit"].reshape(-1)
+    for i in range(4):
+        arr[f"rot_{i}"] = d["quats"][:, i]
+    arr["obj_0"] = d["obj_ids"].reshape(-1).astype(np.float32)
+    arr["ids"] = d["ids"].reshape(-1).astype(np.float32)
+
+    os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
+    header = ("ply\nformat binary_little_endian 1.0\n"
+              f"element vertex {n}\n"
+              + "".join(f"property float {p}\n" for p in _PLY_PROPS)
+              + "end_header\n")
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(arr.tobytes())
+
+
+def load_gaussian_ply(path, capacity: int) -> GaussianState:
+    """Read a gaussian ply written by ``save_gaussian_ply`` (or any 3DGS ply
+    with the same sh-degree-0 property set) into a fresh fixed-capacity
+    state (sem_gaussian_model.py:97-158)."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        props = []
+        n = 0
+        while True:
+            line = f.readline().decode("ascii").strip()
+            if line.startswith("format") and "binary_little_endian" not in line:
+                raise ValueError(f"unsupported ply format: {line}")
+            if line.startswith("element vertex"):
+                n = int(line.split()[-1])
+            elif line.startswith("property"):
+                _, typ, name = line.split()
+                if typ != "float":
+                    raise ValueError(f"unsupported property type {typ}")
+                props.append(name)
+            elif line == "end_header":
+                break
+        arr = np.frombuffer(f.read(n * 4 * len(props)),
+                            dtype=[(p, "<f4") for p in props])
+
+    col = lambda *names: np.stack([arr[p] for p in names], 1)  # noqa: E731
+    d = {
+        "xyz": col("x", "y", "z"),
+        "f_dc": col("f_dc_0", "f_dc_1", "f_dc_2"),
+        "scales_log": col("scale_0", "scale_1", "scale_2"),
+        "quats": col("rot_0", "rot_1", "rot_2", "rot_3"),
+        "opacity_logit": arr["opacity"],
+        "obj_ids": (arr["obj_0"] if "obj_0" in props
+                    else -np.ones(n, np.float32)).astype(np.int32),
+        "ids": (arr["ids"] if "ids" in props
+                else np.arange(n, dtype=np.float32)).astype(np.int32),
+    }
+    d["max_id"] = int(d["ids"].max()) + 1 if n else 0
+    return from_gaussian_map_dict(d, capacity)

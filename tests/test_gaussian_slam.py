@@ -253,6 +253,39 @@ def test_keyframe_schedule_current_frame_share():
     assert set(np.unique(sched)) <= {0, 1, 2, 3, 4}
 
 
+def test_gaussian_ply_roundtrip(tmp_path):
+    """save_gaussian_ply/load_gaussian_ply roundtrip the raw parameters in
+    the reference's 3DGS vertex layout (sem_gaussian_model.py:59-158)."""
+    from ovo_tpu.slam.gaussian.model import (load_gaussian_ply,
+                                             save_gaussian_ply)
+
+    rng = np.random.default_rng(3)
+    state = init_gaussian_state(128)
+    pts = rng.standard_normal((40, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (40, 3)).astype(np.float32)
+    state = add_points(state, jnp.asarray(pts), jnp.asarray(cols),
+                       jnp.ones(40, bool))
+    state = state._replace(obj_ids=state.obj_ids.at[:40].set(
+        jnp.asarray(rng.integers(-1, 5, 40), jnp.int32)))
+
+    p = tmp_path / "map.ply"
+    save_gaussian_ply(state, p)
+    # header is reference-shaped: f4 props incl. normals, obj_0, ids
+    head = p.read_bytes()[:800].decode("ascii", "ignore")
+    assert "format binary_little_endian" in head
+    for prop in ("f_dc_0", "scale_2", "rot_3", "obj_0", "ids"):
+        assert f"property float {prop}" in head
+
+    st2 = load_gaussian_ply(p, 256)
+    assert n_valid(st2) == 40
+    np.testing.assert_allclose(np.asarray(st2.xyz[:40]), pts, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st2.obj_ids[:40]),
+                                  np.asarray(state.obj_ids[:40]))
+    np.testing.assert_allclose(np.asarray(st2.opacity_logit[:40]),
+                               np.asarray(state.opacity_logit[:40]),
+                               atol=1e-6)
+
+
 def test_tracking_knob_plumbing():
     """Reference tracking keys (slam/gaussian_slam/*.yaml) reach the
     tracker: w_color_loss splits into color/depth weights (tracker.py:178),
