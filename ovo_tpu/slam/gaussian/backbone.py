@@ -116,6 +116,10 @@ class WrapperGaussianSLAM:
         self.kf_window = int(mapping.get("keyframe_window", 6))
         self.new_submap_every = int(mapping.get("new_submap_every", 50))
         self.log_psnr = bool(mapping.get("log_psnr", False))
+        # per-mapped-frame render dumps under <output>/mapping_vis/
+        # (reference Logger.vis_mapping_iteration; 0 = off)
+        self.vis_every = int(mapping.get("vis_every", 0))
+        self.output_path = config.get("output_path")
         self.psnr_log: Dict[int, float] = {}
         self.estimated_c2ws: Dict[int, np.ndarray] = {}
         self.kfs: Dict[int, Any] = {}
@@ -210,7 +214,9 @@ class WrapperGaussianSLAM:
         self.kfs[frame_id] = None
         self._n_mapped += 1
         self._view_perm = None  # map changed; invalidate the semantic view
-        if self.log_psnr:
+        dump_vis = (self.vis_every > 0 and self.output_path
+                    and (self._n_mapped - 1) % self.vis_every == 0)
+        if self.log_psnr or dump_vis:
             from ...ops.splat import render_gaussians
             from .losses import psnr
 
@@ -219,8 +225,28 @@ class WrapperGaussianSLAM:
                 self.state.opacity(), self.state.colors(), self.state.valid,
                 w2c, self.K, img_hw=dep.shape,
                 k_per_tile=self.cfg.k_per_tile)
-            self.psnr_log[frame_id] = float(psnr(out.color, img,
-                                                 mask=out.alpha > 0.5))
+            if self.log_psnr:
+                self.psnr_log[frame_id] = float(psnr(out.color, img,
+                                                     mask=out.alpha > 0.5))
+            if dump_vis:
+                # reference Logger.vis_mapping_iteration: per-mapped-frame
+                # render-vs-gt panels under mapping_vis/
+                import imageio.v2 as imageio
+                from pathlib import Path
+
+                vis_dir = Path(self.output_path) / "mapping_vis"
+                vis_dir.mkdir(parents=True, exist_ok=True)
+                rgb = np.concatenate(
+                    [np.asarray(out.color), np.asarray(img)], axis=1)
+                imageio.imwrite(
+                    vis_dir / f"{frame_id:04d}_color.png",
+                    (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+                dmax = max(float(np.asarray(dep).max()), 1e-6)
+                dpair = np.concatenate(
+                    [np.asarray(out.depth), np.asarray(dep)], axis=1) / dmax
+                imageio.imwrite(
+                    vis_dir / f"{frame_id:04d}_depth.png",
+                    (np.clip(dpair, 0, 1) * 255).astype(np.uint8))
 
     # -- semantic-side view (MapState compaction) ------------------------
     def _perm(self) -> jnp.ndarray:

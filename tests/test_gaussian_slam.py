@@ -253,6 +253,27 @@ def test_keyframe_schedule_current_frame_share():
     assert set(np.unique(sched)) <= {0, 1, 2, 3, 4}
 
 
+def test_mapping_vis_dump(tmp_path):
+    """mapping.vis_every dumps render-vs-gt panels under mapping_vis/
+    (reference Logger.vis_mapping_iteration role)."""
+    from ovo_tpu.slam.gaussian.backbone import WrapperGaussianSLAM
+
+    bk = WrapperGaussianSLAM(
+        {"dataset_name": "synthetic", "output_path": str(tmp_path),
+         "mapping": {"iterations": 2, "max_seeds": 512, "vis_every": 1,
+                     "n_gaussians_capacity": 1 << 12, "k_per_tile": 32,
+                     "seed_depth_mult": 1.0},
+         "tracking": {"gt_camera": True}}, K)
+    H, W = IMG_HW
+    depth = np.full((H, W), 2.0, np.float32)
+    image = np.full((H, W, 3), 128, np.uint8)
+    pose = np.eye(4, dtype=np.float32)
+    bk.track_camera([0, image, depth, pose])
+    bk.map([0, image, depth, pose], bk.get_c2w(0))
+    assert (tmp_path / "mapping_vis" / "0000_color.png").exists()
+    assert (tmp_path / "mapping_vis" / "0000_depth.png").exists()
+
+
 def test_gaussian_ply_roundtrip(tmp_path):
     """save_gaussian_ply/load_gaussian_ply roundtrip the raw parameters in
     the reference's 3DGS vertex layout (sem_gaussian_model.py:59-158)."""
