@@ -326,6 +326,8 @@ if __name__ == "__main__":
     except Exception as e:  # the sandboxed TPU worker occasionally restarts
         attempt = int(os.environ.get("OVO_BENCH_RETRY", "0"))
         if attempt < 8:
+            import traceback
+            traceback.print_exc()  # keep the real cause diagnosable
             sys.stderr.write(f"bench attempt {attempt} failed "
                              f"({type(e).__name__}); retrying on a fresh "
                              "runtime\n")
