@@ -122,6 +122,16 @@ class NativeTracker:
             out.append((fid, pose, culled))
         return out
 
+    def get_keyframe_points(self) -> np.ndarray:
+        """(n_live_kf, 13) rows [frame_id, c2w[:3, :4].flatten()] -- the
+        reference orbslam3 binding's aggregate keyframe export
+        (orbslam.py:71 ``updated_kfs``); culled keyframes are omitted,
+        exactly the rows its ``update_map`` iterates."""
+        rows = [np.concatenate([[float(fid)], pose[:3, :4].reshape(-1)])
+                for fid, pose, culled in self.get_keyframes() if not culled]
+        return (np.stack(rows).astype(np.float64) if rows
+                else np.zeros((0, 13)))
+
     def set_loop_params(self, min_kf_gap: int = 0, radius: float = 0.0,
                         rot_limit: float = 0.0, inlier_th: float = 0.0):
         """Tune loop-closure gates; non-positive keeps the default."""

@@ -109,6 +109,12 @@ def test_loop_closure_on_revisit():
         np.testing.assert_allclose(pose[:3, :3] @ pose[:3, :3].T, np.eye(3),
                                    atol=1e-6)
         np.testing.assert_allclose(pose[3], [0, 0, 0, 1], atol=1e-12)
+    # reference binding-surface aggregate (orbslam.py:71): live keyframes
+    # as [frame_id, c2w[:3,:4]] rows, culled omitted
+    pts = t.get_keyframe_points()
+    assert pts.shape == (sum(not c for _, _, c in kfs), 13)
+    live = [(f, p) for f, p, c in kfs if not c]
+    np.testing.assert_allclose(pts[0, 1:], live[0][1][:3, :4].reshape(-1))
 
 
 def test_no_loop_closure_without_revisit():
