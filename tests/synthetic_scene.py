@@ -149,3 +149,30 @@ def class_embeddings(dim: int = 16) -> Dict[str, np.ndarray]:
     for i in range(len(CLASSES)):
         embeds[i, i] = 1.0
     return embeds
+
+
+def noisy_mask_fn(image: np.ndarray, frame_id: int):
+    """Deterministically CORRUPTED segmentation: every mask shifts a few
+    pixels and a horizontal band is painted with the wrong mask id. Both
+    the device pipeline and the numpy oracle consume the identical
+    imperfect masks, so their end-to-end mIoU must agree on a non-trivial
+    (clearly < 1) value."""
+    got = synthetic_mask_fn(image, frame_id)
+    if got is None:
+        return None
+    seg, binary = got
+    rng = np.random.default_rng(1000 + frame_id)
+    H, _ = seg.shape
+    shifted = []
+    for m in binary:
+        dy, dx = rng.integers(-3, 4, 2)
+        shifted.append(np.roll(np.roll(m, int(dy), 0), int(dx), 1))
+    binary = np.stack(shifted)
+    b = int(rng.integers(0, H - 6))
+    j = int(rng.integers(0, len(binary)))
+    binary[:, b:b + 6, :] = False
+    binary[j, b:b + 6, :] = True
+    seg = -np.ones_like(seg)
+    for i, m in enumerate(binary):
+        seg[m] = i
+    return seg, binary

@@ -295,21 +295,18 @@ def test_pipeline_restore_map_resume(tmp_path):
         int(b2.slam_backbone.get_map().count)
 
 
-def test_pipeline_e2e_miou_matches_oracle_pipeline(pipeline_run):
-    """Recorded-fixture end-to-end parity (VERDICT round-1 #2b): the same
-    frames, masks, and recorded descriptors run through a fully independent
-    numpy/torch ORACLE pipeline -- sequential vanilla map insert, the
-    OracleTracker association (torch.mode majority votes), avg descriptor
-    fusion, cosine classification, brute-force knn label transfer, and an
-    independent confusion matrix. Its mIoU must match the device pipeline's
-    on the same GT mesh."""
+def _oracle_pipeline_miou(mask_fn):
+    """Fully independent numpy/torch ORACLE pipeline over the fixture
+    frames -- sequential vanilla map insert, OracleTracker association
+    (torch.mode majority votes), avg descriptor fusion, cosine
+    classification, brute-force knn label transfer, independent confusion
+    matrix -- returning its end-to-end mIoU."""
     from oracle_reference import OracleTracker, oracle_frustum_mask, \
         oracle_match_points
     from ovo_tpu.data.masks import pad_masks
     from synthetic_scene import CLASSES, SyntheticWallDataset, \
-        class_embeddings, mask_label_fn, synthetic_mask_fn
+        class_embeddings, mask_label_fn
 
-    sem_map, out, ds_used = pipeline_run
     embeds = class_embeddings(16)
 
     # ---- oracle pipeline over the same fixture frames ----
@@ -345,7 +342,7 @@ def test_pipeline_e2e_miou_matches_oracle_pipeline(pipeline_run):
             obj = np.concatenate([obj, np.full(len(new), -1, np.int32)])
 
         if fid % 2 == 0:  # segment_every: associate + record descriptors
-            got = synthetic_mask_fn(image, fid)
+            got = mask_fn(image, fid)
             if got is None:
                 continue
             seg, bmaps, valid = pad_masks(got[0], got[1], 16)
@@ -401,10 +398,17 @@ def test_pipeline_e2e_miou_matches_oracle_pipeline(pipeline_run):
             conf[g, p] += 1
     tp = np.diag(conf).astype(np.float64)
     iou = tp / np.maximum(conf.sum(0) + conf.sum(1) - tp, 1)
-    oracle_miou = float(iou.mean())
+    return float(iou.mean())
 
-    # ---- the device pipeline's mIoU on the same mesh/eval recipe ----
-    from ovo_tpu.eval.transfer import match_labels_to_vtx
+
+def _device_miou(sem_map):
+    """The device pipeline's end-to-end mIoU on the same mesh/eval
+    recipe."""
+    from synthetic_scene import CLASSES, gt_mesh
+
+    vtx, gt_labels = gt_mesh()
+    seen = (np.abs(vtx[:, 0]) < 1.9) & (np.abs(vtx[:, 1]) < 0.9)
+    nC = len(CLASSES)
     state = sem_map.slam_backbone.get_map()
     n = int(state.count)
     dpts = np.asarray(state.points[:n])
@@ -420,10 +424,54 @@ def test_pipeline_e2e_miou_matches_oracle_pipeline(pipeline_run):
             dconf[g, p] += 1
     dtp = np.diag(dconf).astype(np.float64)
     diou = dtp / np.maximum(dconf.sum(0) + dconf.sum(1) - dtp, 1)
-    device_miou = float(diou.mean())
+    return float(diou.mean())
 
+
+def test_pipeline_e2e_miou_matches_oracle_pipeline(pipeline_run):
+    """Recorded-fixture end-to-end parity (VERDICT round-1 #2b): the same
+    frames, masks, and recorded descriptors through the device pipeline and
+    the independent oracle pipeline must land on the same mIoU."""
+    sem_map, out, ds_used = pipeline_run
+    oracle_miou = _oracle_pipeline_miou(synthetic_mask_fn)
+    device_miou = _device_miou(sem_map)
     print(f"[parity] device mIoU={device_miou:.4f} "
           f"oracle mIoU={oracle_miou:.4f}")
     assert device_miou > 0.9 and oracle_miou > 0.9
     assert abs(device_miou - oracle_miou) < 0.02, \
+        (device_miou, oracle_miou)
+
+
+@pytest.fixture(scope="module")
+def noisy_pipeline_run(tmp_path_factory):
+    from synthetic_scene import noisy_mask_fn
+
+    out = tmp_path_factory.mktemp("noisy_run")
+    ds = SyntheticWallDataset(n_frames=12)
+    embeds = class_embeddings(16)
+    text_embeds = {f"This is a photo of a {c}": embeds[i]
+                   for i, c in enumerate(CLASSES)}
+    text_embeds.update({c: embeds[i] for i, c in enumerate(CLASSES)})
+    embedder = RecordedEmbedder(16, mask_label_fn, embeds, text_embeds)
+    mask_source = CallableMaskSource(noisy_mask_fn, max_masks=16)
+    sem_map = OVOSemMap(make_config(), out, mask_source=mask_source,
+                        embedder=embedder, dataset=ds)
+    sem_map.run()
+    return sem_map
+
+
+def test_noisy_fixture_miou_matches_oracle(noisy_pipeline_run):
+    """Degraded-input parity: DETERMINISTICALLY corrupted masks (shifted +
+    wrong-label bands, synthetic_scene.noisy_mask_fn) through both
+    pipelines. The end-to-end mIoU must drop clearly below perfect and the
+    device pipeline must still agree with the oracle on the degraded value
+    -- much stronger evidence than the perfect-mask fixture, where
+    disagreements can hide at ceiling."""
+    from synthetic_scene import noisy_mask_fn
+
+    oracle_miou = _oracle_pipeline_miou(noisy_mask_fn)
+    device_miou = _device_miou(noisy_pipeline_run)
+    print(f"[parity-noisy] device mIoU={device_miou:.4f} "
+          f"oracle mIoU={oracle_miou:.4f}")
+    assert 0.2 < device_miou < 0.985, device_miou
+    assert abs(device_miou - oracle_miou) < 0.03, \
         (device_miou, oracle_miou)
