@@ -37,10 +37,14 @@ def load_config(path: str | Path, default_path: Optional[str | Path] = None,
     if inherit_from is not None and inherit:
         parent = Path(inherit_from)
         if not parent.is_absolute() and not parent.exists():
-            # Allow parent paths relative to the child config's directory.
-            candidate = path.parent / parent
-            if candidate.exists():
-                parent = candidate
+            # Allow parent paths relative to the child config's directory
+            # or to the repo root (reference configs use repo-root-relative
+            # inherit_from, but our CLI may run from any cwd).
+            for base in (path.parent, Path(__file__).resolve().parents[1]):
+                candidate = base / parent
+                if candidate.exists():
+                    parent = candidate
+                    break
         cfg = load_config(parent, default_path)
     elif default_path is not None:
         with open(default_path, "r") as f:
