@@ -152,18 +152,20 @@ def mask_level_tail(store: InstanceStore, ins_of_mask: Array, n_new: Array,
     keep_slot = has_ins & (first_idx == jnp.arange(M))
     group_size = jnp.sum(same, axis=1)
 
-    # OR-fuse binary maps into the first slot of each group (one MXU matmul)
+    # OR-fuse binary maps into the first slot of each group (one MXU matmul).
+    # segment_or takes the (M, Hr, Wr) maps directly: reshaping the 1-bit
+    # tiled pred tensor to (M, Hr*Wr) and back was two ~1 ms bit-repacking
+    # relayouts per keyframe (traced), while dot_general contracts over M
+    # with the spatial dims left in place.
     seg_dest = jnp.where(has_ins, first_idx, M)
-    flat = binary_maps.reshape(M, -1)
-    fused_flat = segment_mxu.segment_or(seg_dest, flat, M)
-    fused_maps = fused_flat.reshape(binary_maps.shape)
+    fused_maps = segment_mxu.segment_or(seg_dest, binary_maps, M)
 
     # areas: single mask -> seg-map area (what _track_objects used);
     # fused group -> OR-fused binary area (what the fuse step updates to)
     seg_flat = seg_map.reshape(-1)
     seg_area = segment_mxu.histogram(
         jnp.where(seg_flat >= 0, seg_flat, M), M).astype(jnp.int32)
-    fused_area = jnp.sum(fused_flat.astype(jnp.int32), axis=1)
+    fused_area = jnp.sum(fused_maps.astype(jnp.int32), axis=(1, 2))
     areas = jnp.where(group_size > 1, fused_area, seg_area).astype(jnp.int32)
 
     # ---- top-k keyframe update + gating ----
@@ -423,6 +425,9 @@ def associate_and_insert_keyframe(
         # subsamples go through reshape+unit-slice instead of strided
         # slices (traced ~6 ms/keyframe cheaper together)
         depth_ds = geo.subsample2d(depth, downscale)
+        # (an i32 round-trip to dodge the u8 (4,1)-packed relayout was
+        # tried and reverted: XLA sinks the convert below the reshape and
+        # the s32 colors compaction costs more than the u8 relayout saved)
         image_ds = geo.subsample2d(image, downscale)
         ins_mask = jnp.where(
             have_map,

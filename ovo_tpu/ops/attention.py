@@ -128,6 +128,66 @@ def flash_attention(q: Array, k: Array, v: Array, *,
     return out.reshape(b, h, lq, d)
 
 
+def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+    """Whole-KV fused attention: K/V fully VMEM-resident, ONE qk matmul,
+    plain (non-streaming) softmax in registers, one pv matmul. No fori_loop
+    carries / running-max rescaling -- at the small sequence lengths of the
+    PE tower (577) and Hiera windows (<=196) the streaming variant's loop
+    overhead is what made it lose to XLA (PERF.md #3); here the f32
+    (lq, lk) score tile never touches HBM."""
+    q = q_ref[0]                                       # (bq, d) bf16
+    k = k_ref[0]                                       # (lk, d)
+    lk = k.shape[0]
+    # bf16 MXU passes with f32 accumulation, scale applied in f32 AFTER the
+    # dot -- the exact op order of xla_attention
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if kv_len < lk:
+        k_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(k_ids < kv_len, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p, v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kv_len", "block_q",
+                                             "interpret"))
+def fused_attention(q: Array, k: Array, v: Array, *,
+                    scale: Optional[float] = None,
+                    kv_len: Optional[int] = None,
+                    block_q: int = 1024,
+                    interpret: bool = False) -> Array:
+    """(B, H, L, D) single-KV-block attention. Caller pads lq/lk to multiples
+    of 8/128 respectively; padded keys beyond ``kv_len`` are masked out,
+    padded query rows produce garbage the caller slices off."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+    bq = min(block_q, lq)
+    assert lq % bq == 0
+
+    qr = q.reshape(b * h, lq, d)
+    kr = k.reshape(b * h, lk, d)
+    vr = v.reshape(b * h, lk, d)
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, scale=scale,
+                          kv_len=lk if kv_len is None else kv_len),
+        grid=(b * h, lq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        interpret=interpret,
+    )(qr, kr, vr)
+    return out.reshape(b, h, lq, d)
+
+
 def dot_product_attention(q: Array, k: Array, v: Array,
                           mask: Optional[Array] = None,
                           scale: Optional[float] = None,
@@ -148,17 +208,42 @@ def dot_product_attention(q: Array, k: Array, v: Array,
 
     lq, lk, d = q.shape[-2], k.shape[-2], q.shape[-1]
     scale = scale if scale is not None else d ** -0.5
-    # The kernel handles any head dim that is a multiple of 8 (ragged KV via
-    # kv_len), but traced end-to-end XLA's fused attention is FASTER for the
-    # small-head-dim towers here (PE hd=64: 36->57 ms per TextRegion call;
-    # Hiera hd=72 routed through the unpadded d=72 kernel: AMG 90->101 ms),
-    # so "auto" routes (a) MXU-native head dims and (b) LARGE sequences,
-    # where XLA materializes the f32 (L, L) probability tensor in HBM
-    # (537 MB at L=4096) and the kernel's streaming softmax wins even with
-    # the head dim zero-padded to 128: Hiera-global (8, 4096, 72) measured
-    # 4.1 ms XLA vs 1.1 ms padded kernel (PERF.md 6g). Zero-padded q/k
-    # leave the scores unchanged; padded v columns are sliced off.
-    # Callers can force the kernel with impl="flash".
+    # Mid-size maskless self-attention (the PE/CLIP towers: L=577-730,
+    # hd=64/72) routes through the single-KV-block fused kernel: XLA
+    # materializes the f32 (L, L) probability tensor in HBM (149 MB/layer
+    # for the 7-crop PE batch) while the kernel keeps the score tile in
+    # VMEM -- measured 0.206 vs 0.486 ms/op at (7, 16, 577, 64)
+    # (scripts/microbench_fused_attention.py, PERF.md 6k). The instance
+    # grid must stay small: at Hiera's thousands of tiny windows the
+    # per-instance grid overhead makes the kernel LOSE (1.2 ms vs 0.05 ms
+    # at (1024, 2, 64, 72)), so window attention stays on XLA.
+    bh = 1
+    for s in q.shape[:-2]:
+        bh *= s
+    if (impl in ("auto", "fused") and not causal and mask is None
+            and _on_tpu() and os.environ.get("OVO_NO_PALLAS") != "1"
+            and lq == lk and 256 <= lk <= 1024 and bh <= 512
+            and d <= 128 and d % 8 == 0):
+        lq_pad = (-lq) % 8
+        lk_pad = (-lk) % 128
+        d_pad = (-d) % 128
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, d_pad)))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad), (0, d_pad)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad), (0, d_pad)))
+        o = fused_attention(qp, kp, vp, scale=scale,
+                            kv_len=lk if lk_pad else None)
+        return o[..., :lq, :d]
+    # The streaming kernel handles any head dim that is a multiple of 8
+    # (ragged KV via kv_len), but traced end-to-end XLA's fused attention
+    # is FASTER for the small-head-dim towers here (Hiera hd=72 routed
+    # through the unpadded d=72 kernel: AMG 90->101 ms), so "auto" routes
+    # (a) MXU-native head dims and (b) LARGE sequences, where XLA
+    # materializes the f32 (L, L) probability tensor in HBM (537 MB at
+    # L=4096) and the kernel's streaming softmax wins even with the head
+    # dim zero-padded to 128: Hiera-global (8, 4096, 72) measured 4.1 ms
+    # XLA vs 1.1 ms padded kernel (PERF.md 6g). Zero-padded q/k leave the
+    # scores unchanged; padded v columns are sliced off. Callers can force
+    # the streaming kernel with impl="flash".
     big = lq >= 2048 and lk >= 2048
     if impl != "flash" and not big and (d % 128 != 0 or lq < 128 or lk < 128):
         if causal:

@@ -110,11 +110,17 @@ def histogram(idx: Array, n_bins: int, weights: Array | None = None) -> Array:
 
 
 def segment_or(idx: Array, rows: Array, n_segments: int) -> Array:
-    """out[t] = OR of rows[i] where idx[i] == t. rows: (N, L) bool,
+    """out[t] = OR of rows[i] where idx[i] == t. rows: (N, ...) bool,
     idx: (N,) in [0, n_segments); out-of-range rows are dropped.
-    Runs as one (n_segments, N) x (N, L) matmul."""
-    oh = jax.nn.one_hot(idx, n_segments, dtype=jnp.bfloat16)      # (N, S)
+    Runs as one (n_segments, N) x (N, ...) dot_general contracting over N;
+    trailing dims pass through untouched (so tiled 2D mask layouts avoid a
+    bit-repacking reshape)."""
+    # bf16 one-hots are exact and run a single MXU pass on TPU; the CPU
+    # backend cannot execute bf16 dots with >1 trailing dim (DotThunk
+    # UNIMPLEMENTED), so tests fall back to f32
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    oh = jax.nn.one_hot(idx, n_segments, dtype=dt)                # (N, S)
     acc = jax.lax.dot_general(
-        oh, rows.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                        # (S, L)
+        oh, rows.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                        # (S, ...)
     return acc > 0.5

@@ -101,3 +101,33 @@ def test_masked_pool_uniform_when_constant_k(rng):
     for i in range(m):
         mean = np.asarray(v)[:, np.asarray(mask[i]), :].mean(1)
         np.testing.assert_allclose(np.asarray(out[i]), mean, atol=1e-5)
+
+
+def test_fused_attention_matches_xla(rng):
+    from ovo_tpu.ops.attention import fused_attention
+    b, h, l, d = 2, 4, 256, 128
+    q = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    ref = xla_attention(q, k, v)
+    got = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_padded_pe_shape(rng):
+    """The dispatch path's padding recipe at the PE tower shape: lq padded
+    to a multiple of 8, lk to 128 with kv_len masking, head dim zero-padded
+    to 128 and sliced back."""
+    from ovo_tpu.ops.attention import fused_attention
+    b, h, l, d = 2, 3, 577, 64
+    q = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    ref = xla_attention(q, k, v)
+    lq_pad, lk_pad, d_pad = (-l) % 8, (-l) % 128, (-d) % 128
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, d_pad)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad), (0, d_pad)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad), (0, d_pad)))
+    got = fused_attention(qp, kp, vp, scale=d ** -0.5, kv_len=l,
+                          interpret=True)[..., :l, :d]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
