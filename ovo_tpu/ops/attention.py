@@ -188,6 +188,73 @@ def fused_attention(q: Array, k: Array, v: Array, *,
     return out.reshape(b, h, lq, d)
 
 
+def _winfused_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                     kv_len: int):
+    """Batched whole-KV attention over a BLOCK of tiny instances (Hiera
+    windows / decoder token self-attention): one batched qk dot -> plain
+    softmax -> one batched pv dot, all in VMEM. The single-instance fused
+    kernel loses at these shapes because b*h is in the thousands and each
+    grid step carries ~0.58 us of fixed overhead (PERF.md 6k); here one
+    grid step covers window_block instances."""
+    q = q_ref[...]                                     # (WB, lq, d) bf16
+    k = k_ref[...]                                     # (WB, lk, d)
+    lk = k.shape[1]
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    if kv_len < lk:
+        ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(ids < kv_len, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+    o_ref[...] = jax.lax.dot_general(
+        p, v_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kv_len",
+                                             "window_block", "interpret"))
+def windowed_fused_attention(q: Array, k: Array, v: Array, *,
+                             scale: Optional[float] = None,
+                             kv_len: Optional[int] = None,
+                             window_block: int = 128,
+                             interpret: bool = False) -> Array:
+    """(B, H, Lq, D) attention for many small instances. Caller pads Lq/Lk
+    to multiples of 8 (padded keys masked via ``kv_len``, padded query rows
+    are garbage to slice off); D must be a multiple of 8. B*H is padded to
+    the window block internally (zero instances softmax to uniform -- no
+    NaNs -- and are sliced off)."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+    bh = b * h
+    # bound the f32 (WB, lq, lk) score tile to ~4 MB of VMEM
+    wb = max(8, min(window_block, (1 << 20) // (lq * lk)))
+    wb = min(wb, -(-bh // 8) * 8)
+    pad = (-bh) % wb
+    qr = q.reshape(bh, lq, d)
+    kr = k.reshape(bh, lk, d)
+    vr = v.reshape(bh, lk, d)
+    if pad:
+        qr = jnp.pad(qr, ((0, pad), (0, 0), (0, 0)))
+        kr = jnp.pad(kr, ((0, pad), (0, 0), (0, 0)))
+        vr = jnp.pad(vr, ((0, pad), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_winfused_kernel, scale=scale,
+                          kv_len=lk if kv_len is None else kv_len),
+        grid=((bh + pad) // wb,),
+        in_specs=[
+            pl.BlockSpec((wb, lq, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((wb, lk, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((wb, lk, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((wb, lq, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh + pad, lq, d), q.dtype),
+        interpret=interpret,
+    )(qr, kr, vr)
+    return out[:bh].reshape(b, h, lq, d)
+
+
 def dot_product_attention(q: Array, k: Array, v: Array,
                           mask: Optional[Array] = None,
                           scale: Optional[float] = None,
@@ -233,6 +300,25 @@ def dot_product_attention(q: Array, k: Array, v: Array,
         o = fused_attention(qp, kp, vp, scale=scale,
                             kv_len=lk if lk_pad else None)
         return o[..., :lq, :d]
+    # Small-instance attention (Hiera windows: L=16-200 at b*h up to 4096;
+    # decoder token self-attention) routes through the BATCHED fused kernel:
+    # one grid step covers a whole block of windows, so the per-instance
+    # grid overhead that makes the single-KV kernel lose here is amortized
+    # and the f32 score tiles never touch HBM (PERF.md 6m).
+    if (impl in ("auto", "winfused") and not causal and mask is None
+            and _on_tpu() and os.environ.get("OVO_NO_PALLAS") != "1"
+            and lq <= 512 and lk <= 512 and d % 8 == 0 and d <= 128):
+        lq_pad = (-lq) % 8
+        lk_pad = (-lk) % 8
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, 0))) if lq_pad \
+            else q
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad), (0, 0))) if lk_pad \
+            else k
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad), (0, 0))) if lk_pad \
+            else v
+        o = windowed_fused_attention(qp, kp, vp, scale=scale,
+                                     kv_len=lk if lk_pad else None)
+        return o[..., :lq, :d] if lq_pad else o
     # The streaming kernel handles any head dim that is a multiple of 8
     # (ragged KV via kv_len), but traced end-to-end XLA's fused attention
     # is FASTER for the small-head-dim towers here (Hiera hd=72 routed

@@ -144,8 +144,11 @@ def fused_attn_block(x: Array, w_heads: Array, b_heads: Array,
 
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, fcw_ref, fcb_ref, pw_ref, pb_ref,
                 o_ref, lnx_ref, acc_ref, *, act: str):
-    c = pl.program_id(0)
-    n_chunks = pl.num_programs(0)
+    # grid = (token_blocks, hidden_chunks); chunks iterate innermost, so the
+    # per-token-block LN/acc state in scratch is complete before the block
+    # advances
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
 
     @pl.when(c == 0)
     def _():
@@ -181,13 +184,22 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, fcw_ref, fcb_ref, pw_ref, pb_ref,
 def fused_mlp_block(x: Array, fc_w: Array, fc_b: Array, proj_w: Array,
                     proj_b: Array, ln_scale: Array, ln_bias: Array, *,
                     act: str = "gelu", chunk: int = 1024,
+                    token_block: Optional[int] = None,
                     interpret: bool = False) -> Array:
-    """x (Lp, D) -> x + mlp(LN(x)); grid over hidden chunks."""
+    """x (Lp, D) -> x + mlp(LN(x)); grid over (token blocks, hidden chunks).
+
+    ``token_block`` bounds the VMEM footprint for long token streams (e.g.
+    Hiera stage tensors): each (token_block, D) slab runs LN + the full
+    hidden loop before the grid advances. None = whole Lp in one slab (the
+    original dense-tower behavior). Requires Lp % token_block == 0.
+    """
     Lp, D = x.shape
     hidden = fc_w.shape[1]
     chunk = min(chunk, hidden)
     assert hidden % chunk == 0, (hidden, chunk)
-    grid = (hidden // chunk,)
+    tb = Lp if token_block is None else min(token_block, Lp)
+    assert Lp % tb == 0, (Lp, tb)
+    grid = (Lp // tb, hidden // chunk)
     # 1-D chunked bias streams hit XLA/Mosaic tiling mismatches; carry the
     # fc bias as (8, hidden) with a replicated sublane dim
     fc_b2 = jnp.broadcast_to(fc_b[None, :], (8, hidden))
@@ -196,18 +208,18 @@ def fused_mlp_block(x: Array, fc_w: Array, fc_b: Array, proj_w: Array,
         out_shape=jax.ShapeDtypeStruct((Lp, D), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Lp, D), lambda c: (0, 0)),          # x
-            pl.BlockSpec((D,), lambda c: (0,)),               # ln scale
-            pl.BlockSpec((D,), lambda c: (0,)),               # ln bias
-            pl.BlockSpec((D, chunk), lambda c: (0, c)),       # fc w chunk
-            pl.BlockSpec((8, chunk), lambda c: (0, c)),       # fc b chunk
-            pl.BlockSpec((chunk, D), lambda c: (c, 0)),       # proj w chunk
-            pl.BlockSpec((D,), lambda c: (0,)),               # proj b
+            pl.BlockSpec((tb, D), lambda t, c: (t, 0)),       # x
+            pl.BlockSpec((D,), lambda t, c: (0,)),            # ln scale
+            pl.BlockSpec((D,), lambda t, c: (0,)),            # ln bias
+            pl.BlockSpec((D, chunk), lambda t, c: (0, c)),    # fc w chunk
+            pl.BlockSpec((8, chunk), lambda t, c: (0, c)),    # fc b chunk
+            pl.BlockSpec((chunk, D), lambda t, c: (c, 0)),    # proj w chunk
+            pl.BlockSpec((D,), lambda t, c: (0,)),            # proj b
         ],
-        out_specs=pl.BlockSpec((Lp, D), lambda c: (0, 0)),
+        out_specs=pl.BlockSpec((tb, D), lambda t, c: (t, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Lp, D), x.dtype),
-            pltpu.VMEM((Lp, D), jnp.float32),
+            pltpu.VMEM((tb, D), x.dtype),
+            pltpu.VMEM((tb, D), jnp.float32),
         ],
         interpret=interpret,
     )(x, ln_scale, ln_bias, fc_w, fc_b2, proj_w, proj_b)

@@ -131,3 +131,28 @@ def test_fused_attention_padded_pe_shape(rng):
     got = fused_attention(qp, kp, vp, scale=d ** -0.5, kv_len=l,
                           interpret=True)[..., :l, :d]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("b,h,lq,lk,d", [
+    (1024, 2, 64, 64, 72),    # Hiera stage-1 windows
+    (1024, 2, 16, 64, 72),    # stage-transition block: q pooled 2x2
+    (25, 8, 196, 196, 72),    # Hiera stage-3 windows (lq%8 != 0)
+    (256, 8, 13, 13, 32),     # decoder token self-attention
+])
+def test_windowed_fused_attention_matches_xla(rng, b, h, lq, lk, d):
+    """The batched multi-window kernel + the dispatch padding recipe
+    (lq/lk padded to multiples of 8 with kv_len masking, b*h padded to the
+    window block) against plain XLA attention."""
+    from ovo_tpu.ops.attention import windowed_fused_attention
+    q = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.float32)
+    ref = xla_attention(q, k, v)
+    lq_pad, lk_pad = (-lq) % 8, (-lk) % 8
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad), (0, 0)))
+    got = windowed_fused_attention(
+        qp, kp, vp, scale=d ** -0.5, kv_len=lk if lk_pad else None,
+        interpret=True)[..., :lq, :d]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

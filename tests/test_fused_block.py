@@ -49,3 +49,28 @@ def test_forward_features_fused_matches_xla(rng):
                                    attn_impl="fused_block")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_fused_mlp_token_blocks_match_whole(rng):
+    """token_block slabbing (for long Hiera-stage token streams) computes
+    the same result as the whole-Lp slab and as the XLA mlp."""
+    from ovo_tpu.ops.fused_block import fused_mlp_block
+    D, hidden, Lp = 192, 576, 512
+    key = jax.random.PRNGKey(2)
+    p = {"fc": {"w": jax.random.normal(key, (D, hidden)) * 0.05,
+                "b": jnp.zeros((hidden,))},
+         "proj": {"w": jax.random.normal(key, (hidden, D)) * 0.05,
+                  "b": jnp.zeros((D,))}}
+    ln = {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))}
+    x = jnp.asarray(rng.standard_normal((Lp, D)).astype(np.float32))
+    ref = x + L.mlp(p, L.layer_norm(ln, x))
+    whole = fused_mlp_block(x, p["fc"]["w"], p["fc"]["b"], p["proj"]["w"],
+                            p["proj"]["b"], ln["scale"], ln["bias"],
+                            chunk=288, interpret=True)
+    blocked = fused_mlp_block(x, p["fc"]["w"], p["fc"]["b"], p["proj"]["w"],
+                              p["proj"]["b"], ln["scale"], ln["bias"],
+                              chunk=288, token_block=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(whole),
+                               atol=0, rtol=0)
