@@ -29,6 +29,62 @@ def _on_tpu() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# VMEM footprint model
+# ---------------------------------------------------------------------------
+# Mosaic kernels run out of a ~16 MB scoped-VMEM arena per core. A kernel's
+# per-grid-step footprint is (a) its in/out blocks, DOUBLE-buffered by the
+# automatic pipeline, plus (b) every intermediate the kernel body
+# materializes (here: the f32 score tile, its f32 exp, and the cast-back
+# probability tile). Round 2 budgeted only the score tile and the winfused
+# kernel blew the arena on the real chip at Hiera window shapes
+# (18.29M > 16M, BENCH_r02.json); every block choice below now comes from
+# the full model, with ~25% headroom for Mosaic's own temporaries.
+
+_SCOPED_VMEM_BYTES = 16 * 1024 * 1024
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def winfused_vmem_bytes(wb: int, lq: int, lk: int, d: int,
+                        itemsize: int) -> int:
+    """Per-grid-step footprint of the batched window kernel: double-buffered
+    q/out (wb,lq,d) + k/v (wb,lk,d) blocks, plus the (wb,lq,lk) score tile
+    in f32, its exp in f32, and the probability tile cast to the v dtype."""
+    io = 2 * itemsize * 2 * wb * d * (lq + lk)
+    inter = wb * lq * lk * (4 + 4 + itemsize)
+    return io + inter
+
+
+def winfused_window_block(lq: int, lk: int, d: int, itemsize: int,
+                          max_block: int = 128) -> Optional[int]:
+    """Largest window block (multiple of 8, <= max_block) whose footprint
+    fits the VMEM budget; None if even 8 does not fit -> caller must use
+    XLA."""
+    per_instance = winfused_vmem_bytes(1, lq, lk, d, itemsize)
+    wb = (_VMEM_BUDGET // per_instance) // 8 * 8
+    if wb < 8:
+        return None
+    return min(wb, max_block)
+
+
+def fused_vmem_bytes(bq: int, lk: int, d: int, itemsize: int) -> int:
+    """Per-grid-step footprint of the single-KV-block kernel."""
+    io = 2 * itemsize * d * (2 * bq + 2 * lk)
+    inter = bq * lk * (4 + 4 + itemsize)
+    return io + inter
+
+
+def flash_vmem_bytes(bq: int, bk: int, lk: int, d: int,
+                     itemsize: int) -> int:
+    """Per-grid-step footprint of the streaming kernel: double-buffered q/out
+    blocks and FULL k/v rows (BlockSpec (1, lk, d)), plus the f32 running
+    accumulator and per-block score/exp tiles."""
+    io = 2 * itemsize * d * (2 * bq + 2 * lk)
+    acc = bq * d * 4
+    inter = bq * bk * (4 + 4 + itemsize)
+    return io + acc + inter
+
+
 def xla_attention(q: Array, k: Array, v: Array,
                   mask: Optional[Array] = None, scale: Optional[float] = None
                   ) -> Array:
@@ -228,8 +284,14 @@ def windowed_fused_attention(q: Array, k: Array, v: Array, *,
     lk = k.shape[2]
     scale = scale if scale is not None else d ** -0.5
     bh = b * h
-    # bound the f32 (WB, lq, lk) score tile to ~4 MB of VMEM
-    wb = max(8, min(window_block, (1 << 20) // (lq * lk)))
+    # block choice from the full VMEM footprint model (blocks x double
+    # buffering + f32 score/exp tiles) -- NOT just the score tile
+    wb = winfused_window_block(lq, lk, d, q.dtype.itemsize,
+                               max_block=window_block)
+    if wb is None:
+        raise ValueError(
+            f"windowed_fused_attention: no window block fits scoped VMEM at "
+            f"(lq={lq}, lk={lk}, d={d}); route this shape through XLA")
     wb = min(wb, -(-bh // 8) * 8)
     pad = (-bh) % wb
     qr = q.reshape(bh, lq, d)
@@ -255,42 +317,90 @@ def windowed_fused_attention(q: Array, k: Array, v: Array, *,
     return out[:bh].reshape(b, h, lq, d)
 
 
+def select_attention_route(bh: int, lq: int, lk: int, d: int, itemsize: int,
+                           *, causal: bool = False, has_mask: bool = False,
+                           on_tpu: bool = True, no_pallas: bool = False,
+                           impl: str = "auto") -> str:
+    """Pure routing decision for ``dot_product_attention``: which
+    implementation runs a (bh, lq, lk, d) attention with the given element
+    size. Returns "xla" | "fused" | "winfused" | "flash". Every non-XLA
+    route is guaranteed by construction to fit the scoped-VMEM budget
+    (the round-2 bench crash was a dispatch that skipped this check,
+    BENCH_r02.json) -- tests walk every model shape through this function.
+
+    Routing rationale (measurements in PERF.md 6g/6k/6m):
+      - mid-size maskless self-attention (PE/CLIP towers, L=577-730) ->
+        "fused": XLA materializes the f32 (L, L) probability tensor in HBM
+        (149 MB/layer for the 7-crop PE batch) while the kernel keeps it in
+        VMEM -- 0.206 vs 0.486 ms/op at (7, 16, 577, 64);
+      - many tiny instances (Hiera windows L=16-200 at b*h up to 4096,
+        decoder token self-attention) -> "winfused": one grid step covers a
+        whole block of windows, amortizing the per-instance grid overhead
+        that makes the single-KV kernel lose here (1.2 ms vs 0.05 ms at
+        (1024, 2, 64, 72));
+      - LARGE sequences (Hiera global attention, L>=2048) -> "flash"
+        streaming softmax: 1.1 ms vs XLA 4.1 ms at (8, 4096, 72) even with
+        the head dim zero-padded to 128;
+      - everything else -> "xla" (traced end-to-end XLA fused attention wins
+        at small-head-dim mid-size shapes: AMG 90->101 ms when forced
+        through the kernel).
+    """
+    if impl == "xla" or no_pallas or has_mask or not on_tpu:
+        return "xla"
+    if (impl in ("auto", "fused") and not causal
+            and lq == lk and 256 <= lk <= 1024 and bh <= 512
+            and d <= 128 and d % 8 == 0
+            and fused_vmem_bytes(-(-lq // 8) * 8, -(-lk // 128) * 128,
+                                 128, itemsize) <= _VMEM_BUDGET):
+        return "fused"
+    if (impl in ("auto", "winfused") and not causal
+            and lq <= 512 and lk <= 512 and d % 8 == 0 and d <= 128
+            and winfused_window_block(-(-lq // 8) * 8, -(-lk // 8) * 8, d,
+                                      itemsize) is not None):
+        return "winfused"
+    big = lq >= 2048 and lk >= 2048
+    if impl != "flash" and not big and (d % 128 != 0 or lq < 128 or lk < 128):
+        return "xla"
+    d_pad = -(-d // 128) * 128 if big else d
+    if d_pad % 128 != 0:
+        return "xla"
+    bq = 128 if lq % 256 else 256
+    bk = 128 if lk % 256 else 256
+    lk_pad = -(-lk // bk) * bk
+    # the streaming kernel keeps the FULL (double-buffered) K/V rows in
+    # VMEM; at very long sequences that alone can blow the scoped arena
+    if flash_vmem_bytes(bq, bk, lk_pad, d_pad, itemsize) > _VMEM_BUDGET:
+        return "xla"
+    return "flash"
+
+
 def dot_product_attention(q: Array, k: Array, v: Array,
                           mask: Optional[Array] = None,
                           scale: Optional[float] = None,
                           causal: bool = False,
                           impl: str = "auto") -> Array:
-    """Dispatcher. Uses the Pallas kernel on TPU for unmasked (or causal)
-    attention with kernel-friendly shapes; XLA otherwise.
+    """Dispatcher. Uses a Pallas kernel on TPU for unmasked (or causal)
+    attention with kernel-friendly shapes; XLA otherwise. Route choice and
+    the VMEM-fit guarantees live in ``select_attention_route``.
     ``OVO_NO_PALLAS=1`` forces the XLA path (TPU-worker fault isolation)."""
     import os
 
-    if os.environ.get("OVO_NO_PALLAS") == "1" and impl == "auto":
-        impl = "xla"
-    if impl == "xla" or mask is not None or not _on_tpu():
-        if causal and mask is None:
-            lq, lk = q.shape[-2], k.shape[-2]
-            mask = jnp.tril(jnp.ones((lq, lk), bool))[None, None]
-        return xla_attention(q, k, v, mask=mask, scale=scale)
-
     lq, lk, d = q.shape[-2], k.shape[-2], q.shape[-1]
-    scale = scale if scale is not None else d ** -0.5
-    # Mid-size maskless self-attention (the PE/CLIP towers: L=577-730,
-    # hd=64/72) routes through the single-KV-block fused kernel: XLA
-    # materializes the f32 (L, L) probability tensor in HBM (149 MB/layer
-    # for the 7-crop PE batch) while the kernel keeps the score tile in
-    # VMEM -- measured 0.206 vs 0.486 ms/op at (7, 16, 577, 64)
-    # (scripts/microbench_fused_attention.py, PERF.md 6k). The instance
-    # grid must stay small: at Hiera's thousands of tiny windows the
-    # per-instance grid overhead makes the kernel LOSE (1.2 ms vs 0.05 ms
-    # at (1024, 2, 64, 72)), so window attention stays on XLA.
     bh = 1
     for s in q.shape[:-2]:
         bh *= s
-    if (impl in ("auto", "fused") and not causal and mask is None
-            and _on_tpu() and os.environ.get("OVO_NO_PALLAS") != "1"
-            and lq == lk and 256 <= lk <= 1024 and bh <= 512
-            and d <= 128 and d % 8 == 0):
+    route = select_attention_route(
+        bh, lq, lk, d, q.dtype.itemsize, causal=causal,
+        has_mask=mask is not None, on_tpu=_on_tpu(),
+        no_pallas=os.environ.get("OVO_NO_PALLAS") == "1", impl=impl)
+
+    if route == "xla":
+        if causal and mask is None:
+            mask = jnp.tril(jnp.ones((lq, lk), bool))[None, None]
+        return xla_attention(q, k, v, mask=mask, scale=scale)
+
+    scale = scale if scale is not None else d ** -0.5
+    if route == "fused":
         lq_pad = (-lq) % 8
         lk_pad = (-lk) % 128
         d_pad = (-d) % 128
@@ -300,49 +410,27 @@ def dot_product_attention(q: Array, k: Array, v: Array,
         o = fused_attention(qp, kp, vp, scale=scale,
                             kv_len=lk if lk_pad else None)
         return o[..., :lq, :d]
-    # Small-instance attention (Hiera windows: L=16-200 at b*h up to 4096;
-    # decoder token self-attention) routes through the BATCHED fused kernel:
-    # one grid step covers a whole block of windows, so the per-instance
-    # grid overhead that makes the single-KV kernel lose here is amortized
-    # and the f32 score tiles never touch HBM (PERF.md 6m).
-    if (impl in ("auto", "winfused") and not causal and mask is None
-            and _on_tpu() and os.environ.get("OVO_NO_PALLAS") != "1"
-            and lq <= 512 and lk <= 512 and d % 8 == 0 and d <= 128):
+
+    if route == "winfused":
         lq_pad = (-lq) % 8
         lk_pad = (-lk) % 8
-        qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, 0))) if lq_pad \
-            else q
-        kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad), (0, 0))) if lk_pad \
-            else k
-        vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad), (0, 0))) if lk_pad \
-            else v
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, 0))) \
+            if lq_pad else q
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad), (0, 0))) \
+            if lk_pad else k
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad), (0, 0))) \
+            if lk_pad else v
         o = windowed_fused_attention(qp, kp, vp, scale=scale,
                                      kv_len=lk if lk_pad else None)
         return o[..., :lq, :d] if lq_pad else o
-    # The streaming kernel handles any head dim that is a multiple of 8
-    # (ragged KV via kv_len), but traced end-to-end XLA's fused attention
-    # is FASTER for the small-head-dim towers here (Hiera hd=72 routed
-    # through the unpadded d=72 kernel: AMG 90->101 ms), so "auto" routes
-    # (a) MXU-native head dims and (b) LARGE sequences, where XLA
-    # materializes the f32 (L, L) probability tensor in HBM (537 MB at
-    # L=4096) and the kernel's streaming softmax wins even with the head
-    # dim zero-padded to 128: Hiera-global (8, 4096, 72) measured 4.1 ms
-    # XLA vs 1.1 ms padded kernel (PERF.md 6g). Zero-padded q/k leave the
-    # scores unchanged; padded v columns are sliced off. Callers can force
-    # the streaming kernel with impl="flash".
-    big = lq >= 2048 and lk >= 2048
-    if impl != "flash" and not big and (d % 128 != 0 or lq < 128 or lk < 128):
-        if causal:
-            mask = jnp.tril(jnp.ones((lq, lk), bool))[None, None]
-        return xla_attention(q, k, v, mask=mask, scale=scale)
-    if big and d % 128 != 0:
+
+    # route == "flash": zero-padded q/k leave the scores unchanged; padded
+    # v columns and query rows are sliced off; padded keys masked (kv_len)
+    if d % 128 != 0:
         pad_d = (-d) % 128
         q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
-
-    # pad sequence lengths to block multiples; padded keys are masked out
-    # inside the kernel (kv_len), padded query rows are sliced off
     bq = 128 if lq % 256 else 256
     bk = 128 if lk % 256 else 256
     pad_q = (-lq) % bq
