@@ -177,7 +177,7 @@ class AutomaticMaskSource:
                  box_nms_thresh: float = 0.7, nms_iou_th: float = 0.8,
                  nms_score_th: float = 0.7, nms_inner_th: float = 0.5,
                  max_masks: int = 96, candidates: int = 256,
-                 min_area: int = 0):
+                 min_area: int = 0, gate_prompts: int = 128):
         self.model = model
         self.points = jnp.asarray(grid_points(points_per_side))
         self.pred_iou_thresh = pred_iou_thresh
@@ -191,6 +191,11 @@ class AutomaticMaskSource:
         self.max_masks = max_masks
         self.candidates = candidates
         self.min_area = min_area
+        # predicted-IoU prompt gate before the decoder's per-prompt upscale
+        # tail (decode_masks top_prompts); 0/None disables. Kept >= the
+        # downstream candidate cap / 3 so the NMS stages still see a full
+        # candidate pool.
+        self.gate_prompts = gate_prompts or None
 
     def _amg_kwargs(self, out_hw):
         return dict(
@@ -202,7 +207,7 @@ class AutomaticMaskSource:
             nms_iou_th=self.nms_iou_th, nms_score_th=self.nms_score_th,
             nms_inner_th=self.nms_inner_th, max_masks=self.max_masks,
             candidates=self.candidates, min_area=self.min_area,
-            out_hw=out_hw)
+            gate_prompts=self.gate_prompts, out_hw=out_hw)
 
     def get_masks(self, image, frame_id: int = None):
         # NOTE: jnp.asarray keeps device arrays on device (no host round
@@ -235,19 +240,23 @@ class AutomaticMaskSource:
     static_argnames=("cfg", "pred_iou_thresh", "stability_thresh",
                      "stability_offset", "mask_threshold", "box_nms_thresh",
                      "nms_iou_th", "nms_score_th", "nms_inner_th",
-                     "max_masks", "candidates", "min_area", "out_hw"))
+                     "max_masks", "candidates", "min_area", "gate_prompts",
+                     "out_hw"))
 def _amg_program(params, cfg: SAMConfig, image: Array, points: Array, *,
                  pred_iou_thresh, stability_thresh, stability_offset,
                  mask_threshold, box_nms_thresh, nms_iou_th, nms_score_th,
                  nms_inner_th, max_masks, candidates, min_area,
-                 out_hw: Tuple[int, int]):
+                 gate_prompts=None, out_hw: Tuple[int, int]):
     model = SAMModel(cfg, params)
     x = model.preprocess(image)
     image_embed, high_res = model.encode_image(x)
     # multimask outputs only (SAM AMG multimask_output=True -> channels
-    # 1:4); the decoder skips the single-mask channel's hypernet/einsum
+    # 1:4); the decoder skips the single-mask channel's hypernet/einsum.
+    # gate_prompts: only the top-C prompts by token-predicted IoU pay the
+    # per-prompt upscale tail (decode_masks top_prompts)
     out = model.decode_grid(image_embed, high_res, points,
-                            mask_channels=(1, 2, 3))
+                            mask_channels=(1, 2, 3),
+                            top_prompts=gate_prompts)
     logits = out["masks"]                                # (P, 3, Hm, Wm)
     iou = out["iou"]
     P = logits.shape[0]
@@ -329,4 +338,5 @@ def build_sam_mask_source(sam_cfg: Dict[str, Any], max_masks: int = 96
         nms_score_th=sam_cfg.get("nms_score_th", 0.7),
         nms_inner_th=sam_cfg.get("nms_inner_th", 0.5),
         max_masks=max_masks,
-        min_area=sam_cfg.get("min_mask_region_area", 0))
+        min_area=sam_cfg.get("min_mask_region_area", 0),
+        gate_prompts=sam_cfg.get("gate_prompts", 128))

@@ -187,7 +187,8 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
                  high_res_feats: Optional[List[Array]] = None,
                  heads: int = 8,
                  mask_channels: Optional[Tuple[int, ...]] = None,
-                 blocked: bool = False) -> Dict[str, Array]:
+                 blocked: bool = False,
+                 top_prompts: Optional[int] = None) -> Dict[str, Array]:
     """One batched decoding pass.
 
     image_embed: (H, W, d) shared image embedding (stride 16);
@@ -197,10 +198,20 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
     mask_channels: which of the 4 mask tokens to hypernet+rasterize
       (default all; AMG passes (1, 2, 3) -- multimask only -- to skip 25%
       of the mask einsum and logits materialization).
+    top_prompts: if set (< B), gate the EXPENSIVE per-prompt tail: the
+      predicted IoU comes from the iou token alone, so after the two-way
+      transformer only the top_prompts prompts by max-channel predicted IoU
+      pay the upscale chain + hypernet + mask einsum (537 MB + 1.07 GB +
+      0.2 GB of HBM writes per keyframe at B=256, PERF.md 6h). Selection is
+      exactly "ungated output restricted to the selected prompts" (indices
+      returned as ``prompt_sel``, ascending prompt order). The reference
+      AMG's own first filter is this same predicted-IoU signal
+      (segment_utils.py:195-259 pred_iou_thresh), applied post-decode.
 
-    Returns {"masks": (B, C, 4H, 4W) logits over mask_channels,
-             "iou": (B, C), "obj_score": (B,)}.
-    With ``blocked=True`` masks come back as (B, C, H, W, 2, 2, 2, 2) in
+    Returns {"masks": (B', C, 4H, 4W) logits over mask_channels,
+             "iou": (B', C), "obj_score": (B',), "prompt_sel": (B',)}
+    where B' = top_prompts if gating is active else B.
+    With ``blocked=True`` masks come back as (B', C, H, W, 2, 2, 2, 2) in
     the upscaler's native blocked layout -- pixel (4h+2i+p, 4w+2j+q) at
     index (h, w, i, j, p, q) -- skipping the raster relayout copy (AMG's
     order-agnostic consumers read it directly).
@@ -224,6 +235,24 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
     iou_token = queries[:, 1]
     mask_tokens = queries[:, 2:2 + NUM_MASK_TOKENS]
 
+    chans = tuple(range(NUM_MASK_TOKENS)) if mask_channels is None \
+        else tuple(mask_channels)
+    iou_all = _mlp3(params["iou_head"], iou_token,
+                    sigmoid_out=True)[:, list(chans)]       # (B, C)
+    prompt_sel = jnp.arange(B)
+    if top_prompts is not None and top_prompts < B:
+        gate = jnp.max(iou_all, axis=1)                     # (B,)
+        # ascending index order so the output IS the ungated output
+        # restricted to the selected prompts (pinned by test_sam gating
+        # parity); stable argsort keeps tie-breaks deterministic
+        prompt_sel = jnp.sort(
+            jnp.argsort(-gate, stable=True)[:top_prompts])
+        keys = keys[prompt_sel]
+        mask_tokens = mask_tokens[prompt_sel]
+        obj_token = obj_token[prompt_sel]
+        iou_all = iou_all[prompt_sel]
+        B = top_prompts
+
     # ---- upscale chain in BLOCKED layout (see _up_blocked): the (B, 4H,
     # 4W, ·) per-prompt tensors never materialize in raster order ----
     img = keys.reshape(B, H, W, d)
@@ -233,8 +262,6 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
         up = up + hr1.reshape(H, 2, W, 2, -1).transpose(0, 2, 1, 3, 4)[None]
     up = L.gelu(L.layer_norm(params["upscale_ln"], up))  # exact erf (torch)
 
-    chans = tuple(range(NUM_MASK_TOKENS)) if mask_channels is None \
-        else tuple(mask_channels)
     hyper = jnp.stack([_mlp3(params["hyper_mlps"][i], mask_tokens[:, i])
                        for i in chans], axis=1)            # (B, C, up2)
 
@@ -274,6 +301,6 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
             B, 4 * H, 4 * W, -1)
         masks = jnp.einsum("bkc,bhwc->bkhw", hyper, up,
                            preferred_element_type=jnp.float32)
-    iou = _mlp3(params["iou_head"], iou_token, sigmoid_out=True)[:, list(chans)]
     obj = L.linear(params["obj_head"], obj_token)[:, 0]
-    return {"masks": masks, "iou": iou, "obj_score": obj}
+    return {"masks": masks, "iou": iou_all, "obj_score": obj,
+            "prompt_sel": prompt_sel}

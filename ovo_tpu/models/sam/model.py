@@ -95,11 +95,13 @@ class SAMModel:
 
     def decode_grid(self, image_embed: Array, high_res: List[Array],
                     points01: Array, mask_channels=None,
-                    blocked: bool = False) -> Dict[str, Array]:
+                    blocked: bool = False,
+                    top_prompts=None) -> Dict[str, Array]:
         """Batched single-point prompts: points01 (P, 2) in [0,1] -> masks
-        (P, C, H4, W4) logits + iou (P, C) over ``mask_channels``
-        (default all 4). ``blocked=True`` returns masks in the decoder's
-        blocked layout (see decode_masks)."""
+        (P', C, H4, W4) logits + iou (P', C) over ``mask_channels``
+        (default all 4; P' = top_prompts if the predicted-IoU prompt gate
+        is active, see decode_masks). ``blocked=True`` returns masks in the
+        decoder's blocked layout (see decode_masks)."""
         H, W, d = image_embed.shape
         sparse = encode_points(
             self.params["prompt"], points01[:, None, :],
@@ -107,4 +109,5 @@ class SAMModel:
         image_pe = pe_grid(self.params["prompt"], H, W)
         return decode_masks(self.params["decoder"], image_embed, image_pe,
                             sparse, high_res_feats=high_res,
-                            mask_channels=mask_channels, blocked=blocked)
+                            mask_channels=mask_channels, blocked=blocked,
+                            top_prompts=top_prompts)

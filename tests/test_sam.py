@@ -334,3 +334,64 @@ def test_blocked_masks_match_raster(tiny_sam, rng):
     np.testing.assert_array_equal(
         np.asarray(mask_boxes_blocked(lg_b > 0.0)),
         np.asarray(mask_boxes(lg_r > 0.0)))
+
+
+def test_prompt_gate_matches_ungated_restriction(tiny_sam):
+    """decode_grid(top_prompts=C) output == the ungated output restricted
+    to the C prompts with highest max-channel predicted IoU, in ascending
+    prompt order -- the exact selection semantics the AMG tail relies on
+    (VERDICT round-2 item 2)."""
+    rng = np.random.default_rng(3)
+    img = (rng.random((90, 120, 3)) * 255).astype(np.uint8)
+    x = tiny_sam.preprocess(jnp.asarray(img).astype(jnp.float32) / 255.0)
+    embed, high_res = tiny_sam.encode_image(x)
+    pts = jnp.asarray(grid_points(4))          # 16 prompts
+    full = tiny_sam.decode_grid(embed, high_res, pts, mask_channels=(1, 2, 3))
+    gated = tiny_sam.decode_grid(embed, high_res, pts, mask_channels=(1, 2, 3),
+                                 top_prompts=6)
+    # expected selection: top-6 prompts by max-channel iou, ascending order
+    gate = np.asarray(full["iou"]).max(axis=1)
+    order = np.argsort(-gate, kind="stable")[:6]
+    exp_sel = np.sort(order)
+    np.testing.assert_array_equal(np.asarray(gated["prompt_sel"]), exp_sel)
+    np.testing.assert_allclose(np.asarray(gated["iou"]),
+                               np.asarray(full["iou"])[exp_sel], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gated["masks"]),
+                               np.asarray(full["masks"])[exp_sel], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gated["obj_score"]),
+                               np.asarray(full["obj_score"])[exp_sel],
+                               atol=1e-6)
+
+
+def test_amg_gate_full_pool_is_identical(tiny_sam):
+    """With gate_prompts >= P the AMG program is bit-identical to the
+    ungated one (the gate only restricts, never reorders or rescores)."""
+    kw = dict(points_per_side=4, pred_iou_thresh=0.0, stability_thresh=0.0,
+              nms_score_th=0.0, max_masks=16, candidates=32)
+    img = (np.random.default_rng(5).random((90, 120, 3)) * 255).astype(
+        np.uint8)
+    a = AutomaticMaskSource(tiny_sam, gate_prompts=0, **kw)
+    b = AutomaticMaskSource(tiny_sam, gate_prompts=999, **kw)
+    seg_a, bm_a, v_a = a.get_masks(img, 0)
+    seg_b, bm_b, v_b = b.get_masks(img, 0)
+    np.testing.assert_array_equal(np.asarray(seg_a), np.asarray(seg_b))
+    np.testing.assert_array_equal(np.asarray(bm_a), np.asarray(bm_b))
+    np.testing.assert_array_equal(np.asarray(v_a), np.asarray(v_b))
+
+
+def test_amg_gated_pipeline_runs(tiny_sam):
+    """The AMG program end-to-end with an ACTIVE prompt gate (C < P):
+    outputs keep their shapes and the seg-map invariant."""
+    amg = AutomaticMaskSource(tiny_sam, points_per_side=4,
+                              pred_iou_thresh=0.0, stability_thresh=0.0,
+                              nms_score_th=0.0, max_masks=16, candidates=32,
+                              gate_prompts=8)
+    img = (np.random.default_rng(7).random((90, 120, 3)) * 255).astype(
+        np.uint8)
+    seg, bmaps, valid = amg.get_masks(img, 0)
+    assert seg.shape == (90, 120)
+    assert bmaps.shape == (16, 90, 120)
+    seg_np, v = np.asarray(seg), np.asarray(valid)
+    for idx in np.unique(seg_np[seg_np >= 0]):
+        assert v[idx]
+        assert np.asarray(bmaps)[idx][seg_np == idx].all()
