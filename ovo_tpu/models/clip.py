@@ -181,7 +181,7 @@ class CLIPModel:
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer or get_tokenizer(
-            context_length=cfg.text.context_length)
+            context_length=cfg.text.context_length, card=cfg)
         self._mean = jnp.asarray(cfg.mean, jnp.float32)
         self._std = jnp.asarray(cfg.std, jnp.float32)
 

@@ -251,7 +251,8 @@ def load_clip_checkpoint(model_card: str, ckpt_path: str):
         embed_dim=params["text"]["proj"].shape[-1])
     cfg = dataclasses.replace(base, vision=vcfg, text=tcfg)
     params = jax.tree_util.tree_map(jnp.asarray, params)
-    tok = get_tokenizer(os.path.dirname(ckpt_path), tcfg.context_length)
+    tok = get_tokenizer(os.path.dirname(ckpt_path), tcfg.context_length,
+                        card=cfg)
     return CLIPModel(cfg, params, tokenizer=tok)
 
 

@@ -1,0 +1,182 @@
+"""SentencePiece unigram tokenizer: binary ModelProto parsing, Viterbi
+segmentation, byte fallback, SigLIP/Gemma call conventions, and per-card
+tokenizer routing (reference gets all of these via open_clip,
+clip_utils.py:51-86)."""
+import struct
+
+import numpy as np
+import pytest
+
+from ovo_tpu.models.tokenizers import (CLIPBPETokenizer, HashTokenizer,
+                                       SentencePieceTokenizer, get_tokenizer,
+                                       parse_sentencepiece_model)
+
+
+# ---- minimal protobuf writer (test-side mirror of the reader) ----
+
+def _varint(n: int) -> bytes:
+    if n < 0:               # protobuf: negative ints are 64-bit two's compl.
+        n &= (1 << 64) - 1
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _f_bytes(num: int, payload: bytes) -> bytes:
+    return _varint(num << 3 | 2) + _varint(len(payload)) + payload
+
+
+def _f_varint(num: int, val: int) -> bytes:
+    return _varint(num << 3 | 0) + _varint(val)
+
+
+def _f_f32(num: int, val: float) -> bytes:
+    return _varint(num << 3 | 5) + struct.pack("<f", val)
+
+
+def make_sp_model(pieces, trainer_ids=None) -> bytes:
+    """pieces: [(text, score, type)]; trainer_ids: (unk, bos, eos, pad)."""
+    msg = b""
+    for text, score, t in pieces:
+        sub = _f_bytes(1, text.encode("utf-8")) + _f_f32(2, score) \
+            + _f_varint(3, t)
+        msg += _f_bytes(1, sub)
+    if trainer_ids is not None:
+        unk, bos, eos, pad = trainer_ids
+        ts = (_f_varint(40, unk) + _f_varint(41, bos) + _f_varint(42, eos)
+              + _f_varint(43, pad))
+        msg += _f_bytes(2, ts)
+    return msg
+
+
+# T5-style layout (SigLIP): pad=0, </s>=1, <unk>=2
+PIECES = [
+    ("<pad>", 0.0, 3), ("</s>", 0.0, 3), ("<unk>", 0.0, 2),
+    ("▁", -3.0, 1), ("▁a", -2.0, 1), ("▁photo", -4.0, 1),
+    ("▁of", -2.5, 1), ("▁ch", -3.5, 1), ("air", -3.6, 1),
+    ("▁chair", -5.0, 1), ("c", -9.0, 1), ("h", -9.0, 1), ("a", -9.0, 1),
+    ("i", -9.0, 1), ("r", -9.0, 1), ("▁c", -8.0, 1), ("hair", -4.0, 1),
+]
+
+
+@pytest.fixture
+def sp_path(tmp_path):
+    p = tmp_path / "sentencepiece.model"
+    p.write_bytes(make_sp_model(PIECES, trainer_ids=(2, -1, 1, 0)))
+    return str(p)
+
+
+def test_model_proto_roundtrip(sp_path):
+    with open(sp_path, "rb") as f:
+        pieces, ids = parse_sentencepiece_model(f.read())
+    assert [p[0] for p in pieces[:4]] == ["<pad>", "</s>", "<unk>", "▁"]
+    assert pieces[5][0] == "▁photo"
+    assert abs(pieces[5][1] + 4.0) < 1e-6
+    assert pieces[2][2] == 2          # UNKNOWN type
+    assert ids == {"unk": 2, "bos": -1, "eos": 1, "pad": 0}
+
+
+def test_viterbi_picks_max_score_segmentation(sp_path):
+    tok = SentencePieceTokenizer(sp_path, context_length=16)
+    # "chair": "▁chair" scores -5.0; "▁ch"+"air" = -7.1; "▁c"+"hair" = -12.0
+    assert tok.encode("chair") == [tok._piece_id["▁chair"]]
+    # raise the whole-word cost so the split wins
+    ids = tok.encode("of")
+    assert ids == [tok._piece_id["▁of"]]
+    ids = tok.encode("a photo of chair")
+    names = {v: k for k, v in tok._piece_id.items()}
+    assert [names[i] for i in ids] == ["▁a", "▁photo", "▁of", "▁chair"]
+
+
+def test_unknown_char_maps_to_unk(sp_path):
+    tok = SentencePieceTokenizer(sp_path, context_length=16)
+    ids = tok.encode("chairZ")          # Z not in vocab, no byte pieces
+    assert ids[-1] == tok.unk_id
+    # unknown never beats a real segmentation
+    assert ids[0] == tok._piece_id["▁chair"]
+
+
+def test_byte_fallback_pieces():
+    pieces = PIECES + [(f"<0x{b:02X}>", -12.0, 6) for b in range(256)]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "spiece.model")
+        with open(p, "wb") as f:
+            f.write(make_sp_model(pieces, trainer_ids=(2, -1, 1, 0)))
+        tok = SentencePieceTokenizer(p, context_length=16)
+        ids = tok.encode("aZ")
+        # 'Z' = 0x5A byte piece
+        assert ids[-1] == tok._piece_id["<0x5A>"]
+
+
+def test_siglip_call_convention(sp_path):
+    tok = SentencePieceTokenizer(sp_path, context_length=8, style="siglip")
+    out = tok(["A Photo, of CHAIR!"])   # canonicalized: "a photo of chair"
+    assert out.shape == (1, 8)
+    names = {v: k for k, v in tok._piece_id.items()}
+    toks = [names[i] for i in out[0]]
+    assert toks[:5] == ["▁a", "▁photo", "▁of", "▁chair", "</s>"]
+    assert (out[0][5:] == tok.pad_id).all()
+    # truncation keeps the eos terminal
+    long = tok(["a photo of chair a photo of chair a photo"])
+    assert long[0][-1] == tok.eos_id
+
+
+def test_gemma_call_convention(tmp_path):
+    pieces = [("<pad>", 0.0, 3), ("<eos>", 0.0, 3), ("<bos>", 0.0, 3),
+              ("<unk>", 0.0, 2)] + PIECES[3:]
+    p = tmp_path / "tokenizer.model"
+    p.write_bytes(make_sp_model(pieces, trainer_ids=(3, 2, 1, 0)))
+    tok = SentencePieceTokenizer(str(p), context_length=8, style="gemma")
+    out = tok(["a photo"])
+    assert out[0][0] == tok.bos_id == 2
+    assert out[0][3] == tok.eos_id == 1
+    assert (out[0][4:] == tok.pad_id).all()
+
+
+def _write_bpe_vocab(path):
+    """Tiny-but-valid CLIP BPE merges file."""
+    lines = ["#version: 0.2", "c h", "ch a", "a i", "ai r", "air</w> x"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_card_routing(tmp_path):
+    """Every registry card routes to its correct tokenizer class when the
+    vocab files are present (VERDICT round-2 item 4 done-criterion)."""
+    from ovo_tpu.models.clip import MODEL_REGISTRY
+
+    d = str(tmp_path)
+    _write_bpe_vocab(tmp_path / "bpe_simple_vocab_16e6.txt")
+    (tmp_path / "sentencepiece.model").write_bytes(
+        make_sp_model(PIECES, trainer_ids=(2, -1, 1, 0)))
+
+    for name, card in MODEL_REGISTRY.items():
+        if name.startswith("tiny"):
+            continue
+        tok = get_tokenizer(d, card.text.context_length, card=card)
+        if card.siglip:
+            assert isinstance(tok, SentencePieceTokenizer), name
+            assert tok.style == ("gemma" if card.text.vocab_size >= 200000
+                                 else "siglip"), name
+        else:
+            assert isinstance(tok, CLIPBPETokenizer), name
+        out = tok(["a chair"])
+        assert out.shape == (1, card.text.context_length)
+        assert out.dtype == np.int32
+        assert (out >= 0).all()
+
+
+def test_fallback_is_loud_and_hash(tmp_path, capsys):
+    from ovo_tpu.models.clip import MODEL_REGISTRY
+
+    card = MODEL_REGISTRY["SigLIP"]
+    tok = get_tokenizer(str(tmp_path), 64, card=card)
+    assert isinstance(tok, HashTokenizer)
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "GARBAGE" in err
+    assert tok.vocab_size == card.text.vocab_size
