@@ -3,7 +3,11 @@
 
 Measures the full per-keyframe semantic hot path at the reference's default
 Replica configuration (SURVEY.md section 3.1 call stack), with all state
-device-resident exactly as in the online pipeline:
+device-resident exactly as in the online pipeline. The fused
+associate+insert program is bit-exact with the pipeline's two-step
+map() -> associate flow, including the frame's own fresh points voting in
+its association (tests/test_association.py pins the equality), so the
+number below measures the shipped semantics:
 
   SAM2-class AMG (hiera_l @ 1024, 16x16 grid prompts, NMS, seg map)
   -> projective association over a 2M-point map (frustum/match/votes/fusion)

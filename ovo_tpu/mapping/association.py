@@ -343,13 +343,16 @@ def associate_and_insert_keyframe(
     DONATION CONTRACT: ``map_state`` and ``store`` are donated (consumed);
     see associate_keyframe.
 
-    ORDERING NOTE: this program associates against the map BEFORE inserting
-    this frame's points. The reference pipeline (ovomapping.py:149-164) maps
-    first, then segments -- so a keyframe's own freshly unprojected points
-    participate in its association votes there. The online pipeline
-    therefore keeps the two-step map() -> associate_keyframe() flow for
-    exact parity; this fused variant serves throughput paths (bench.py)
-    where the one-frame vote difference is irrelevant.
+    ORDERING: exactly the two-step map() -> associate_keyframe() flow of
+    the reference pipeline (ovomapping.py:149-164) -- a keyframe's own
+    freshly unprojected points participate in its association votes and
+    receive instance ids. The insert decision is computed from the
+    PRE-insert map (as map_insert_frame does), then the inserted points'
+    vote contribution is added explicitly: they are always unassigned, so
+    their matched rows add to the per-mask unassigned counts (one
+    histogram), and their ids come from the same mask->instance lookup as
+    the write-back. tests/test_association.py pins bit-exact equality with
+    the two-step flow.
     """
     M = binary_maps.shape[0]
     Kcap = store.capacity
@@ -365,7 +368,8 @@ def associate_and_insert_keyframe(
     corners = geo.compute_camera_frustum_corners(depth, c2w, K)
     in_frustum = geo.points_in_frustum(points, corners,
                                        valid=map_state.valid_mask())
-    uv, z = geo.project_points(points, K, jnp.linalg.inv(c2w))
+    w2c = jnp.linalg.inv(c2w)
+    uv, z = geo.project_points(points, K, w2c)
     in_plane = ((uv[:, 0] >= 0) & (uv[:, 0] < w) &
                 (uv[:, 1] >= 0) & (uv[:, 1] < h))
     uc = jnp.clip(uv[:, 0], 0, w - 1)
@@ -394,25 +398,8 @@ def associate_and_insert_keyframe(
     ins_matched = base & (jnp.abs(z - d_raw) < insert_match_th) & (d_raw != 0)
     seg = jnp.where(matched, seg_pt, -1)
 
-    seg_row = jnp.where(seg >= 0, seg, M)
-    assigned = obj >= 0
-    vote_col = jnp.where(assigned & (seg >= 0), jnp.clip(obj, 0, Kcap - 1),
-                         Kcap)
-    votes_full = _vote_matmul(seg_row, vote_col, M, Kcap)
-    ins_of_mask, n_new, dropped, unassigned_cnt = mask_decisions(
-        votes_full, mask_valid, store.next_id, track_th, M, Kcap)
-
-    point_ins = _mask_slot_lookup(seg, ins_of_mask, M)   # MXU, not gather
-    update = (~assigned) & (point_ins >= 0)
-    new_obj = jnp.where(update, point_ins, obj)
-    map_state = map_state._replace(obj_ids=new_obj)
-    store, out = mask_level_tail(
-        store, ins_of_mask, n_new, dropped, unassigned_cnt, seg_map,
-        binary_maps, kf_id, jnp.sum(matched.astype(jnp.int32)),
-        unbounded_top_k=unbounded_top_k)
-
-    # ---- map insert (map_state.map_insert_frame semantics, reusing the
-    # shared match) ----
+    # ---- insert decision (map_state.map_insert_frame semantics against
+    # the PRE-insert map, reusing the shared match) ----
     # Unconditional dedup + select: lax.cond shuttles the big carried
     # buffers through the conditional (profiled at ~20 ms of copies); the
     # dedup math itself is ~2 ms, so compute it always and select.
@@ -448,7 +435,62 @@ def associate_and_insert_keyframe(
             geo.max_pool_erode((depth > 0) & ~hits, k_pooling),
             depth > 0)
         new_pts = geo.unproject_depth(depth, K, c2w)
+
+    # ---- self-votes: the freshly inserted points participate in this
+    # keyframe's association, exactly as in the two-step flow where map()
+    # runs first (ovomapping.py:149-164). They are all unassigned, so
+    # their matched rows contribute only to the per-mask unassigned
+    # counts -- one extra (H/ds * W/ds)-row projection + packed gather +
+    # histogram, ~1/ds^2 of the map-side cost. ----
+    flat_ins = ins_mask.reshape(-1)
+    rank = jnp.cumsum(flat_ins.astype(jnp.int32)) - 1
+    inserted = flat_ins & (map_state.count + rank < map_state.capacity)
+    in_frustum_n = geo.points_in_frustum(new_pts, corners, valid=inserted)
+    uv_n, z_n = geo.project_points(new_pts, K, w2c)
+    in_plane_n = ((uv_n[:, 0] >= 0) & (uv_n[:, 0] < w) &
+                  (uv_n[:, 1] >= 0) & (uv_n[:, 1] < h))
+    ucn = jnp.clip(uv_n[:, 0], 0, w - 1)
+    vcn = jnp.clip(uv_n[:, 1], 0, h - 1)
+    g_n = packed[vcn, ucn]
+    d_m_n = g_n[:, 1]
+    if rgb_depth_ratio is None:
+        seg_pt_n = g_n[:, 2].astype(jnp.int32)
+    else:
+        r_h, r_w, crop_edge = rgb_depth_ratio
+        u2n = ((ucn + crop_edge).astype(jnp.float32) * r_w).astype(jnp.int32)
+        v2n = ((vcn + crop_edge).astype(jnp.float32) * r_h).astype(jnp.int32)
+        Hr, Wr = seg_map.shape
+        u2n = jnp.clip(u2n, 0, Wr - 1)
+        v2n = jnp.clip(v2n, 0, Hr - 1)
+        seg_pt_n = seg_img[v2n, u2n].astype(jnp.int32)
+    matched_n = (in_frustum_n & in_plane_n
+                 & (jnp.abs(z_n - d_m_n) < match_distance_th) & (d_m_n != 0))
+    seg_n = jnp.where(matched_n, seg_pt_n, -1)
+    hist_n = segment_mxu.histogram(
+        jnp.where(seg_n >= 0, seg_n, M), M + 1).astype(jnp.int32)
+
+    # ---- votes: map points + the frame's own inserted points ----
+    seg_row = jnp.where(seg >= 0, seg, M)
+    assigned = obj >= 0
+    vote_col = jnp.where(assigned & (seg >= 0), jnp.clip(obj, 0, Kcap - 1),
+                         Kcap)
+    votes_full = _vote_matmul(seg_row, vote_col, M, Kcap)
+    votes_full = votes_full.at[:, Kcap].add(hist_n)  # (M+1,) tiny update
+    ins_of_mask, n_new, dropped, unassigned_cnt = mask_decisions(
+        votes_full, mask_valid, store.next_id, track_th, M, Kcap)
+
+    point_ins = _mask_slot_lookup(seg, ins_of_mask, M)   # MXU, not gather
+    update = (~assigned) & (point_ins >= 0)
+    new_obj = jnp.where(update, point_ins, obj)
+    map_state = map_state._replace(obj_ids=new_obj)
+    obj_n = _mask_slot_lookup(seg_n, ins_of_mask, M)     # ids for new points
+    n_matched = (jnp.sum(matched.astype(jnp.int32))
+                 + jnp.sum(matched_n.astype(jnp.int32)))
+    store, out = mask_level_tail(
+        store, ins_of_mask, n_new, dropped, unassigned_cnt, seg_map,
+        binary_maps, kf_id, n_matched, unbounded_top_k=unbounded_top_k)
+
     map_state = _scatter_append(map_state, new_pts,
                                 image_ds.reshape(-1, 3),
-                                ins_mask.reshape(-1))
+                                flat_ins, obj_vals=obj_n)
     return map_state, store, out

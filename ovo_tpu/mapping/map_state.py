@@ -117,9 +117,16 @@ def map_insert_frame(state: MapState, image: Array, depth: Array, c2w: Array,
 
 
 def _scatter_append(state: MapState, points: Array, colors: Array,
-                    new_mask: Array) -> MapState:
+                    new_mask: Array, obj_vals: Array | None = None
+                    ) -> MapState:
     """Append points[new_mask] (row-major order, same as the reference's
     boolean indexing) into the fixed buffers at offset ``count``.
+
+    ``obj_vals``: optional (W,) i32 per-row instance ids for the appended
+    points (the fused associate+insert program assigns the frame's own
+    points their vote results, matching the two-step map()->associate
+    flow where they participate in the association write-back). Default
+    appends unassigned (-1).
 
     TPU scatters execute row-at-a-time (a 204k-row scatter profiled at
     ~25 ms), so this is stream compaction + ONE contiguous window write per
@@ -132,6 +139,8 @@ def _scatter_append(state: MapState, points: Array, colors: Array,
     Wn = new_mask.shape[0]
     N = state.capacity
     n_new = jnp.sum(new_mask.astype(jnp.int32))
+    if obj_vals is None:
+        obj_vals = jnp.full((Wn,), -1, jnp.int32)
 
     if Wn >= N:  # degenerate tiny-map case (tests): keep the scatter path
         order = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
@@ -144,7 +153,7 @@ def _scatter_append(state: MapState, points: Array, colors: Array,
         new_pids = state.point_ids.at[dest].set(
             ids.astype(jnp.int32), mode="drop")
         new_objs = state.obj_ids.at[dest].set(
-            jnp.full(order.shape, -1, jnp.int32), mode="drop")
+            obj_vals.astype(jnp.int32), mode="drop")
         new_count = jnp.minimum(state.count + n_new, N)
         return MapState(new_points, new_pids, new_objs, new_colors,
                         new_count.astype(jnp.int32),
@@ -171,9 +180,10 @@ def _scatter_append(state: MapState, points: Array, colors: Array,
     old_pids = jax.lax.dynamic_slice_in_dim(state.point_ids, start, Wn, axis=0)
     new_pids = jax.lax.dynamic_update_slice_in_dim(
         state.point_ids, jnp.where(is_new, rank_ids, old_pids), start, axis=0)
+    obj_comp = jnp.roll(obj_vals[perm], offset, axis=0).astype(jnp.int32)
     old_objs = jax.lax.dynamic_slice_in_dim(state.obj_ids, start, Wn, axis=0)
     new_objs = jax.lax.dynamic_update_slice_in_dim(
-        state.obj_ids, jnp.where(is_new, -1, old_objs), start, axis=0)
+        state.obj_ids, jnp.where(is_new, obj_comp, old_objs), start, axis=0)
 
     new_count = jnp.minimum(state.count + n_new, N)
     return MapState(new_points, new_pids, new_objs, new_colors,

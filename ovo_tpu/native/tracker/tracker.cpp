@@ -293,6 +293,13 @@ struct Keyframe {
   Mat4 pose;               // camera-to-world
   Pyramid pyr;             // 2 levels, level 0 = quarter resolution
   bool culled = false;
+  // uncertainty of the odometry step INTO this keyframe (1 - inlier
+  // ratio of the tracking alignment at promotion, floored): loop-closure
+  // corrections are distributed proportionally to these, so low-
+  // confidence stretches absorb more of the error -- the covariance-
+  // weighted essential-graph analogue of ORB-SLAM3's pose-graph
+  // optimization (uniform ratios reduce to plain se(3) interpolation)
+  double step_unc = 1.0;
 };
 
 struct Tracker {
@@ -430,6 +437,7 @@ struct Tracker {
     Keyframe kf;
     kf.id = frame_id;
     kf.pose = cur_pose;
+    kf.step_unc = std::fmax(0.05, 1.0 - last_inlier_ratio);
     const int small = cur.levels - 1;  // quarter resolution
     kf.pyr.levels = 2;
     kf.pyr.build(cur.gray[small].data(), cur.depth[small].data(),
@@ -509,11 +517,19 @@ struct Tracker {
       loop_cooldown = 2;  // drift negligible: nothing to correct yet
       return;
     }
-    // distribute the correction along the chain: keyframes right after the
-    // candidate move little, the newest moves by the full E
+    // distribute the correction along the chain weighted by each step's
+    // tracking uncertainty (1 - inlier ratio at keyframe promotion):
+    // low-confidence odometry stretches absorb more of the error, the
+    // newest keyframe moves by the full E. Uniform uncertainties reduce
+    // to the plain se(3) interpolation.
+    double total_unc = 0.0;
+    for (int i = cand + 1; i <= last; ++i) total_unc += kfs[i].step_unc;
+    double acc_unc = 0.0;
     for (int i = cand + 1; i <= last; ++i) {
-      const double a =
-          static_cast<double>(i - cand) / static_cast<double>(last - cand);
+      acc_unc += kfs[i].step_unc;
+      const double a = total_unc > 0.0
+          ? acc_unc / total_unc
+          : static_cast<double>(i - cand) / static_cast<double>(last - cand);
       double axi[6];
       for (int k = 0; k < 6; ++k) axi[k] = a * xi[k];
       kfs[i].pose = matmul(se3_exp(axi), kfs[i].pose);

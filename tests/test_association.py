@@ -206,9 +206,13 @@ def test_capacity_overflow_drops_masks(rng):
     assert int(store2.next_id) == 3
 
 
-def test_fused_associate_insert_matches_two_step(rng):
-    """associate_and_insert_keyframe == associate_keyframe then
-    map_insert_frame (shared-projection fusion must not change results)."""
+@pytest.mark.parametrize("downscale,k_pooling", [(1, 1), (2, 3)])
+def test_fused_associate_insert_matches_two_step(rng, downscale, k_pooling):
+    """associate_and_insert_keyframe == map_insert_frame then
+    associate_keyframe, bit for bit -- the ONLINE PIPELINE's ordering
+    (ovomapping.py:149-164: map first, so a keyframe's own fresh points
+    participate in its association votes and get instance ids). This pins
+    the fused program bench.py times to the exact shipped semantics."""
     import jax.numpy as jnp
 
     from ovo_tpu.mapping import association
@@ -220,14 +224,31 @@ def test_fused_associate_insert_matches_two_step(rng):
     M, Kcap = 8, 32
     K = jnp.asarray(np.array([[50.0, 0, 31.5], [0, 50.0, 23.5], [0, 0, 1]],
                              np.float32))
-    c2w = jnp.asarray(np.eye(4, dtype=np.float32))
-    depth = jnp.asarray(rng.uniform(1.0, 3.0, (H, W)).astype(np.float32))
+    c2w0 = jnp.asarray(np.eye(4, dtype=np.float32))
+    # second frame from a shifted+rotated pose so plenty of NEW points
+    # insert (dedup misses) and land inside this frame's masks: the
+    # self-vote path must carry real traffic, not just zeros
+    ang = 0.03
+    c2w1 = np.eye(4, dtype=np.float32)
+    c2w1[:3, :3] = np.array([[np.cos(ang), 0, np.sin(ang)],
+                             [0, 1, 0],
+                             [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+    c2w1[0, 3] = 0.08
+    c2w1 = jnp.asarray(c2w1)
+    # smooth depth: the depth filter passes it, so the fresh points'
+    # |z - filtered| matches actually fire (random depth would zero the
+    # self-vote traffic and make the activity assertion below vacuous)
+    vv, uu = np.meshgrid(np.arange(H, dtype=np.float32),
+                         np.arange(W, dtype=np.float32), indexing="ij")
+    depth0 = jnp.asarray(2.0 + 0.4 * np.sin(uu / 19.0) + 0.3 * vv / H)
+    depth1 = jnp.asarray(2.1 + 0.4 * np.sin(uu / 17.0) + 0.25 * vv / H)
     img = jnp.asarray((rng.random((H, W, 3)) * 255).astype(np.uint8))
+
+    ins_kw = dict(k_pooling=k_pooling, downscale=downscale, match_th=0.03)
 
     def seeded_state():
         st = init_map_state(N)
-        return map_insert_frame(st, img, depth, c2w, K, k_pooling=1,
-                                downscale=1, match_th=0.03)
+        return map_insert_frame(st, img, depth0, c2w0, K, **ins_kw)
 
     seg = jnp.asarray(rng.integers(-1, M, (H, W)).astype(np.int32))
     bmaps = jnp.asarray(rng.random((M, H, W)) > 0.7)
@@ -236,15 +257,15 @@ def test_fused_associate_insert_matches_two_step(rng):
     kw = dict(match_distance_th=0.05, track_th=20, use_depth_filter=True,
               unbounded_top_k=True)
 
+    # two-step shipped-pipeline order: map() FIRST, then associate
+    s1 = map_insert_frame(seeded_state(), img, depth1, c2w1, K, **ins_kw)
     s1, st1, m1 = association.associate_keyframe(
-        seeded_state(), init_instance_store(Kcap, 16), seg, bmaps, valid,
-        depth, c2w, K, kf, **kw)
-    s1 = map_insert_frame(s1, img, depth, c2w, K, k_pooling=1, downscale=1,
-                          match_th=0.03)
+        s1, init_instance_store(Kcap, 16), seg, bmaps, valid,
+        depth1, c2w1, K, kf, **kw)
 
     s2, st2, m2 = association.associate_and_insert_keyframe(
         seeded_state(), init_instance_store(Kcap, 16), seg, bmaps, valid,
-        img, depth, c2w, K, kf, k_pooling=1, downscale=1,
+        img, depth1, c2w1, K, kf, k_pooling=k_pooling, downscale=downscale,
         insert_match_th=0.03, **kw)
 
     np.testing.assert_array_equal(np.asarray(m1.ins_ids), np.asarray(m2.ins_ids))
@@ -252,8 +273,11 @@ def test_fused_associate_insert_matches_two_step(rng):
     np.testing.assert_array_equal(np.asarray(m1.fused_maps),
                                   np.asarray(m2.fused_maps))
     assert int(m1.n_matched) == int(m2.n_matched)
+    assert int(m1.n_new) == int(m2.n_new)
     assert int(s1.count) == int(s2.count)
     np.testing.assert_array_equal(np.asarray(s1.obj_ids), np.asarray(s2.obj_ids))
+    np.testing.assert_array_equal(np.asarray(s1.point_ids),
+                                  np.asarray(s2.point_ids))
     n = int(s1.count)
     np.testing.assert_allclose(np.asarray(s1.points[:n]),
                                np.asarray(s2.points[:n]), atol=1e-6)
@@ -261,3 +285,9 @@ def test_fused_associate_insert_matches_two_step(rng):
                                   np.asarray(st2.top_kf))
     np.testing.assert_array_equal(np.asarray(st1.top_area),
                                   np.asarray(st2.top_area))
+    # the self-vote path must have been active: fresh frame-1 points were
+    # inserted AND some of them received instance ids at association time
+    n0 = int(seeded_state().count)
+    appended_objs = np.asarray(s2.obj_ids[n0:n])
+    assert appended_objs.size > 0
+    assert (appended_objs >= 0).any()

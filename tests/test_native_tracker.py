@@ -117,6 +117,57 @@ def test_loop_closure_on_revisit():
     np.testing.assert_allclose(pts[0, 1:], live[0][1][:3, :4].reshape(-1))
 
 
+def test_multi_loop_figure8_two_revisits():
+    """Figure-8: out-and-back along +x, then out-and-back along +y. Both
+    revisits of the origin must close (two big-change increments), nested
+    corrections must not destroy earlier ones, and the final pose must be
+    tighter than the single-loop bound (inlier-weighted distribution,
+    ORB-SLAM3 pose-graph semantics, reference orbslam.py:62-115)."""
+    rng = np.random.default_rng(11)
+    t = NativeTracker(kf_trans_th=0.05)
+    t.set_loop_params(min_kf_gap=5, radius=0.15, rot_limit=1.0,
+                      inlier_th=0.3)
+    gray, depth = render_plane_noisy(np.eye(4, dtype=np.float32), rng)
+    t.process_image_rgbd(gray, depth, FX, FY, CX, CY, timestamp=0.0)
+
+    step, out_frames = 0.025, 20
+    xs = ([(i * step, 0.0) for i in range(1, out_frames + 1)]
+          + [((out_frames - i) * step, 0.0) for i in range(1, out_frames + 1)]
+          + [(0.0, i * step) for i in range(1, out_frames + 1)]
+          + [(0.0, (out_frames - i) * step) for i in range(1, out_frames + 1)])
+    poses = []
+    changes = []
+    for i, (x, y) in enumerate(xs):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3], c2w[1, 3] = x, y
+        gray, depth = render_plane_noisy(c2w, rng)
+        state = t.process_image_rgbd(gray, depth, FX, FY, CX, CY,
+                                     timestamp=float(i + 1))
+        assert state == STATE_OK
+        poses.append(((x, y), t.get_last_trajectory_point()))
+        changes.append(t.get_last_big_change_idx())
+
+    assert changes[-1] >= 2, f"expected two closures, got {changes[-1]}"
+    # first closure fires during/after the first return leg
+    assert changes[2 * out_frames - 1] >= 1, changes
+    ((gx, gy), final) = poses[-1]
+    err = np.hypot(final[0, 3] - gx, final[1, 3] - gy)
+    assert err < 0.04, (final[:2, 3], (gx, gy), err)
+    # the first loop's correction survives the second closure: origin-area
+    # keyframes (ids from leg 1) stay near their corrected poses
+    kfs = t.get_keyframes()
+    for fid, pose, culled in kfs:
+        np.testing.assert_allclose(pose[:3, :3] @ pose[:3, :3].T,
+                                   np.eye(3), atol=1e-6)
+        # every keyframe pose must be near ITS ground-truth trajectory
+        # point (drift corrected everywhere, not just at the ends)
+        gt_x, gt_y = xs[int(fid) - 1] if fid >= 1 else (0.0, 0.0)
+        d = np.hypot(pose[0, 3] - gt_x, pose[1, 3] - gt_y)
+        assert d < 0.08, (fid, pose[:2, 3], (gt_x, gt_y), d)
+    # culling fires on the revisited stretches
+    assert any(c for _, _, c in kfs)
+
+
 def test_no_loop_closure_without_revisit():
     """A one-way sweep must NOT fire the loop-closure path."""
     rng = np.random.default_rng(3)
