@@ -72,11 +72,27 @@ def assemble_run_config(config_root: str | Path, dataset: str, scene: str,
     cfg = load_config(root / "ovo.yaml")
 
     map_module = cfg["slam"]["slam_module"]
-    if map_module.startswith("orbslam"):
+    if overrides:  # an overridden module must select its slam layer too
+        map_module = overrides.get("slam", {}).get("slam_module", map_module)
+    is_orb = map_module.startswith("orbslam")
+    if is_orb:
         map_module = "vanilla"  # orbslam reuses the vanilla mapping params
     slam_cfg_path = root / "slam" / map_module / f"{dataset.lower()}.yaml"
     if slam_cfg_path.exists():
         update_recursive(cfg, load_config(slam_cfg_path))
+    if is_orb:
+        # ORB tracker gates layered per dataset and (optionally) per scene,
+        # mirroring the reference's per-scene orbslam2 yamls
+        # (/root/reference/data/working/configs/slam/orbslam2/,
+        # orbslam.py:28-34): scene-tuned thresholds are how the reference
+        # keeps ORB stable across ScanNet scenes
+        orb_ds = root / "slam" / "orbslam" / f"{dataset.lower()}.yaml"
+        if orb_ds.exists():
+            update_recursive(cfg, load_config(orb_ds))
+        orb_scene = root / "slam" / "orbslam" / dataset.lower() / \
+            f"{scene}.yaml"
+        if orb_scene.exists():
+            update_recursive(cfg, load_config(orb_scene))
 
     ds_cfg_path = root / dataset / f"{dataset.lower()}.yaml"
     if ds_cfg_path.exists():

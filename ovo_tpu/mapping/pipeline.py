@@ -160,21 +160,29 @@ class OVOSemMap:
         if spawn_process:
             from ..viz.visualizer import stream_pcd
 
+            cam = self.config.get("cam", {})
+            cam_arg = None
+            if {"fx", "fy", "cx", "cy", "H", "W"} <= set(cam):
+                K = np.array([[cam["fx"], 0, cam["cx"]],
+                              [0, cam["fy"], cam["cy"]],
+                              [0, 0, 1]], np.float64)
+                cam_arg = (K, int(cam["H"]), int(cam["W"]))
             self.viewer_proc = ctx.Process(
                 target=stream_pcd,
                 args=(self.pcd_queue, child_conn, self.query_flag,
                       str(self.output_path / "stream_out"),
-                      self.show_stream, queries))
+                      self.show_stream, queries, cam_arg))
             self.viewer_proc.start()
             return None
         return self.pcd_queue, child_conn, self.query_flag
 
-    def _stream_frame(self) -> None:
+    def _stream_frame(self, c2w=None) -> None:
         state = self.slam_backbone.get_map()
         n = int(state.count)
         self.pcd_queue.put((np.asarray(state.points[:n]),
                             np.asarray(state.obj_ids[:n]),
-                            np.asarray(state.colors[:n])))
+                            np.asarray(state.colors[:n]),
+                            None if c2w is None else np.asarray(c2w)))
 
     def _serve_stream_query(self, timeout: float = 30.0) -> None:
         """Mapper side of the query round-trip (ovomapping.py:200-207):
@@ -323,7 +331,7 @@ class OVOSemMap:
                 self.logger.log_memory_usage(frame_id)
                 t_sem = time.time() - t0
                 if self.pcd_queue is not None:
-                    self._stream_frame()
+                    self._stream_frame(c2w)
                     self._serve_stream_query()
                 if self.profile_trace and self._trace_state >= 0:
                     self._trace_state += 1

@@ -71,7 +71,8 @@ MODEL_REGISTRY: Dict[str, CLIPModelConfig] = {
                          n_heads=16, mlp_ratio=3.7362, embed_dim=1152,
                          use_cls_token=False, use_abs_pos=True, pool="attn"),
         text=TextConfig(vocab_size=32000, context_length=64, width=1152,
-                        depth=27, n_heads=16, embed_dim=1152, causal=False,
+                        depth=27, n_heads=16, mlp_ratio=3.7362,
+                        embed_dim=1152, causal=False,
                         pool="last"),
         mean=SIGLIP_MEAN, std=SIGLIP_STD, siglip=True, clip_dim=1152),
     "ViT-H-14": CLIPModelConfig(
@@ -90,7 +91,8 @@ MODEL_REGISTRY: Dict[str, CLIPModelConfig] = {
                          n_heads=16, mlp_ratio=3.7362, embed_dim=1152,
                          use_cls_token=False, use_abs_pos=True, pool="attn"),
         text=TextConfig(vocab_size=32000, context_length=64, width=1152,
-                        depth=27, n_heads=16, embed_dim=1152, causal=False,
+                        depth=27, n_heads=16, mlp_ratio=3.7362,
+                        embed_dim=1152, causal=False,
                         pool="last"),
         mean=SIGLIP_MEAN, std=SIGLIP_STD, siglip=True, clip_dim=1152),
     "SigLIP2-384": CLIPModelConfig(
@@ -101,7 +103,8 @@ MODEL_REGISTRY: Dict[str, CLIPModelConfig] = {
                          n_heads=16, mlp_ratio=3.7362, embed_dim=1152,
                          use_cls_token=False, use_abs_pos=True, pool="attn"),
         text=TextConfig(vocab_size=256000, context_length=64, width=1152,
-                        depth=27, n_heads=16, embed_dim=1152, causal=False,
+                        depth=27, n_heads=16, mlp_ratio=3.7362,
+                        embed_dim=1152, causal=False,
                         pool="last"),
         mean=SIGLIP_MEAN, std=SIGLIP_STD, siglip=True, clip_dim=1152),
     "ViT-B-16-qg": CLIPModelConfig(

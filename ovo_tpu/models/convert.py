@@ -117,14 +117,24 @@ def convert_text_tower(sd: Dict, prefix: str = "") -> Dict[str, Any]:
     n_blocks = 0
     while f"{pre}transformer.resblocks.{n_blocks}.ln_1.weight" in sd:
         n_blocks += 1
-    return {
+    params = {
         "tok_embed": _np(sd[f"{pre}token_embedding.weight"]),
         "pos": _np(sd[f"{pre}positional_embedding"]),
         "blocks": [convert_clip_block(sd, f"{pre}transformer.resblocks.{i}")
                    for i in range(n_blocks)],
         "ln_final": _ln(sd, f"{pre}ln_final"),
-        "proj": _np(sd[f"{pre}text_projection"]),
     }
+    # text_projection is a raw (D, E) matrix in OpenAI-CLIP checkpoints but
+    # an nn.Linear in open_clip's SigLIP family (proj_bias: true in the
+    # ViT-SO400M-14-SigLIP model configs) -- accept both forms
+    if f"{pre}text_projection.weight" in sd:
+        lin = _lin(sd, f"{pre}text_projection")
+        params["proj"] = lin["w"]
+        if lin["b"] is not None:
+            params["proj_bias"] = lin["b"]
+    else:
+        params["proj"] = _np(sd[f"{pre}text_projection"])
+    return params
 
 
 def convert_timm_trunk(sd: Dict, prefix: str = "visual.trunk"

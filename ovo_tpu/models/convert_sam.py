@@ -135,8 +135,11 @@ def convert_mask_decoder(sd: Dict, prefix: str = "sam_mask_decoder"
         "hyper_mlps": [mlp3(f"{prefix}.output_hypernetworks_mlps.{i}")
                        for i in range(n_hyper)],
         "iou_head": mlp3(f"{prefix}.iou_prediction_head"),
-        "obj_head": (_lin(sd, f"{prefix}.pred_obj_score_head.layers.2")
+        # full 3-layer MLP (sam2's pred_obj_score_head); legacy fallbacks
+        # keep single-linear / headless synthetic dicts loadable
+        "obj_head": (mlp3(f"{prefix}.pred_obj_score_head")
                      if f"{prefix}.pred_obj_score_head.layers.2.weight" in sd
+                     and f"{prefix}.pred_obj_score_head.layers.0.weight" in sd
                      else _lin(sd, f"{prefix}.pred_obj_score_head")
                      if f"{prefix}.pred_obj_score_head.weight" in sd
                      else {"w": np.zeros((256, 1), np.float32),

@@ -71,7 +71,11 @@ def init_mask_decoder(key, d: int = 256, heads: int = 8, depth: int = 2,
         "iou_head": {"l0": L.init_linear(ks[12], d, d),
                      "l1": L.init_linear(ks[13], d, d),
                      "l2": L.init_linear(ks[14], d, NUM_MASK_TOKENS)},
-        "obj_head": L.init_linear(ks[15], d, 1),
+        # full 3-layer MLP, matching sam2's pred_obj_score_head (a single
+        # final linear loses the relu trunk with converted real weights)
+        "obj_head": {"l0": L.init_linear(jax.random.fold_in(ks[15], 0), d, d),
+                     "l1": L.init_linear(jax.random.fold_in(ks[15], 1), d, d),
+                     "l2": L.init_linear(jax.random.fold_in(ks[15], 2), d, 1)},
     }
     if high_res:
         k2 = jax.random.split(ks[5], 2)
@@ -301,6 +305,8 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
             B, 4 * H, 4 * W, -1)
         masks = jnp.einsum("bkc,bhwc->bkhw", hyper, up,
                            preferred_element_type=jnp.float32)
-    obj = L.linear(params["obj_head"], obj_token)[:, 0]
+    oh = params["obj_head"]
+    obj = (_mlp3(oh, obj_token) if "l0" in oh
+           else L.linear(oh, obj_token))[:, 0]  # legacy single-linear ckpts
     return {"masks": masks, "iou": iou_all, "obj_score": obj,
             "prompt_sel": prompt_sel}

@@ -64,4 +64,7 @@ def encode_text(params: Params, cfg: TextConfig, tokens: Array,
         pooled = x[:, -1]
     else:
         pooled = jnp.mean(x, axis=1)
-    return pooled @ params["proj"].astype(pooled.dtype)
+    out = pooled @ params["proj"].astype(pooled.dtype)
+    if "proj_bias" in params:  # open_clip SigLIP: Linear text_projection
+        out = out + params["proj_bias"].astype(out.dtype)
+    return out

@@ -11,6 +11,22 @@ Everything is jnp, so color/depth/alpha gradients flow to every gaussian
 parameter through plain autodiff -- no hand-written VJP. Designed for the
 mapping/tracking optimization loops (hundreds of thousands of gaussians,
 depth-sorted compositing like 3DGS).
+
+APPROXIMATION CAVEAT (vs 3DGS's exact full depth-sorted rasterizer): each
+tile composites only its k_per_tile NEAREST gaussians; farther ones are
+truncated. The error is the residual transmittance after K gaussians, so
+it grows when MANY low-alpha gaussians stack on one tile. Stress-measured
+against the exact composite (k_per_tile = G) with 256 gaussians covering
+the same tiles (tests/test_knn_splat.py):
+
+  opacity 0.5  (production: pruning drops < ~0.1):  K=64 44.9 dB PSNR,
+      K=128 67.4 dB, max |alpha| err 8.4e-2 -> 1e-5
+  opacity 0.05 (pathological):                      K=64 31.5 dB,
+      K=128 42.5 dB
+
+The Gaussian-SLAM backbone therefore defaults k_per_tile to 128
+(backbone.py; config knob mapping.k_per_tile). Convergence to the exact
+composite is monotone in K.
 """
 from __future__ import annotations
 

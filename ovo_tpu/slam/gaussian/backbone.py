@@ -46,7 +46,7 @@ class WrapperGaussianSLAM:
             dedup_radius=float(
                 mapping.get("new_points_radius",
                             mapping.get("dedup_radius", 0.02))),
-            k_per_tile=int(mapping.get("k_per_tile", 64)),
+            k_per_tile=int(mapping.get("k_per_tile", 128)),
             densify_grad_th=float(mapping.get("densify_grad_th", 0.0)),
             densify_percent_dense=float(
                 mapping.get("densify_percent_dense", 0.01)),

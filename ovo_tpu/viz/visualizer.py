@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import struct
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -141,8 +141,42 @@ def export_obb_lineset(path, obbs: dict, samples_per_edge: int = 24) -> None:
     write_ply(path, np.concatenate(pts), np.concatenate(cols))
 
 
+def camera_frustum_lineset(c2w: np.ndarray, K: np.ndarray,
+                           hw: Tuple[int, int], depth: float = 0.3
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Camera frustum wireframe in world coords (reference
+    vis_utils.py:118-158): optical center + the 4 image-plane corners at
+    ``depth``, 8 lines (4 center->corner rays + the corner ring).
+    Returns (points (5, 3) f64, lines (8, 2) i32)."""
+    h, w = hw
+    corners_px = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float64)
+    x = (corners_px[:, 0] - K[0, 2]) * depth / K[0, 0]
+    y = (corners_px[:, 1] - K[1, 2]) * depth / K[1, 1]
+    cam = np.stack([x, y, np.full(4, depth)], axis=1)
+    pts = np.concatenate([np.zeros((1, 3)), cam], axis=0)
+    pts = pts @ np.asarray(c2w, np.float64)[:3, :3].T + \
+        np.asarray(c2w, np.float64)[:3, 3]
+    lines = np.array([[0, 1], [0, 2], [0, 3], [0, 4],
+                      [1, 2], [2, 3], [3, 4], [4, 1]], np.int32)
+    return pts, lines
+
+
+def export_frustum_lineset(path, c2w: np.ndarray, K: np.ndarray,
+                           hw: Tuple[int, int], depth: float = 0.3,
+                           samples_per_edge: int = 24) -> None:
+    """Headless frustum export: edge-sampled points as a PLY (same style
+    as export_obb_lineset)."""
+    pts, lines = camera_frustum_lineset(c2w, K, hw, depth)
+    t = np.linspace(0.0, 1.0, samples_per_edge)[:, None]
+    seg = [pts[a][None] * (1 - t) + pts[b][None] * t for a, b in lines]
+    samples = np.concatenate(seg, axis=0)
+    colors = np.tile(np.array([[255, 64, 64]], np.uint8),
+                     (len(samples), 1))
+    write_ply(path, samples.astype(np.float32), colors)
+
+
 def stream_pcd(queue, conn, flag, output_dir, show: bool = False,
-               queries: Optional[Sequence[str]] = None) -> None:
+               queries: Optional[Sequence[str]] = None, cam=None) -> None:
     """Viewer-process target (reference visualizer.py:324-393 stream loop +
     :146-162 query handshake). Consumes (points, obj_ids, colors) frames
     from ``queue`` until a ``None`` sentinel. Headless mode: optionally
@@ -150,10 +184,14 @@ def stream_pcd(queue, conn, flag, output_dir, show: bool = False,
     (conn.send(query); flag=1 -> wait flag=2 -> conn.recv(per-point sims))
     and exports colored PLY snapshots of the final map.
 
+    ``cam``: optional (K 3x3, H, W) -- with it, stream items may carry a
+    4th element (the current c2w) and the viewer draws/export the camera
+    frustum lineset (reference visualizer.py frustum updates).
+
     With open3d installed the same loop drives a live window instead.
     """
     try:
-        _stream_pcd(queue, conn, flag, output_dir, show, queries)
+        _stream_pcd(queue, conn, flag, output_dir, show, queries, cam)
     except Exception:  # noqa: BLE001 -- subprocess: leave a diagnosable trace
         import traceback
 
@@ -164,13 +202,15 @@ def stream_pcd(queue, conn, flag, output_dir, show: bool = False,
 
 
 def _stream_pcd(queue, conn, flag, output_dir, show: bool = False,
-                queries: Optional[Sequence[str]] = None) -> None:
+                queries: Optional[Sequence[str]] = None, cam=None) -> None:
     import time
 
     queries = list(queries or [])
     latest = None
+    last_pose = None
     out = Path(output_dir)
     vis_window = None
+    frustum_geom = None
     if show and _HAS_O3D:
         import open3d as o3d
 
@@ -184,7 +224,9 @@ def _stream_pcd(queue, conn, flag, output_dir, show: bool = False,
         item = queue.get()
         if item is None:
             break
-        latest = item
+        latest = item[:3]
+        if len(item) > 3 and item[3] is not None:
+            last_pose = np.asarray(item[3], np.float64)
         n_frames += 1
         if vis_window is not None:
             import open3d as o3d
@@ -198,6 +240,18 @@ def _stream_pcd(queue, conn, flag, output_dir, show: bool = False,
             if n_frames == 1:
                 vis_window.add_geometry(pcd_geom)
             vis_window.update_geometry(pcd_geom)
+            if last_pose is not None and cam is not None:
+                K, h, w = cam
+                fpts, flines = camera_frustum_lineset(last_pose,
+                                                      np.asarray(K), (h, w))
+                if frustum_geom is None:
+                    frustum_geom = o3d.geometry.LineSet()
+                    frustum_geom.lines = o3d.utility.Vector2iVector(flines)
+                    frustum_geom.paint_uniform_color([1.0, 0.25, 0.25])
+                frustum_geom.points = o3d.utility.Vector3dVector(fpts)
+                if n_frames == 1:
+                    vis_window.add_geometry(frustum_geom)
+                vis_window.update_geometry(frustum_geom)
             vis_window.poll_events()
             vis_window.update_renderer()
         if queries:
@@ -228,6 +282,11 @@ def _stream_pcd(queue, conn, flag, output_dir, show: bool = False,
         for q, vals in query_results:
             export_colored_pcd(out, pts, obj_ids, query_values=vals,
                                tag=f"stream_query_{q.replace(' ', '_')}")
+        if last_pose is not None and cam is not None:
+            K, h, w = cam
+            out.mkdir(parents=True, exist_ok=True)
+            export_frustum_lineset(out / "stream_frustum.ply", last_pose,
+                                   np.asarray(K), (h, w))
     if vis_window is not None:
         vis_window.destroy_window()
 

@@ -26,6 +26,37 @@ def test_assemble_run_config_scannet():
     assert cfg["dataset_name"] == "scannet"
 
 
+def test_assemble_run_config_orbslam_layer():
+    """orbslam runs layer the tracker-gate yamls: dataset-level
+    slam/orbslam/<dataset>.yaml then per-scene slam/orbslam/<dataset>/
+    <scene>.yaml (reference: scene-tuned orbslam2 configs,
+    orbslam.py:28-34)."""
+    ov = {"slam": {"slam_module": "orbslam"}}
+    cfg = assemble_run_config("configs", "Replica", "room0", overrides=ov)
+    # dataset-level gates land; vanilla mapping params still present
+    assert cfg["slam"]["kf_trans_th"] == 0.15
+    assert cfg["slam"]["loop_inlier_th"] == 0.55
+    assert cfg["mapping"]["k_pooling"] == 3
+
+    cfg = assemble_run_config("configs", "ScanNet", "scene0011_00",
+                              overrides=ov)
+    # per-scene override beats the dataset-level orbslam yaml
+    assert cfg["slam"]["kf_trans_th"] == 0.08
+    assert cfg["slam"]["loop_radius"] == 0.25
+    assert cfg["slam"]["kf_inlier_th"] == 0.50       # dataset level
+    cfg2 = assemble_run_config("configs", "ScanNet", "scene0050_00",
+                               overrides=ov)
+    assert cfg2["slam"]["kf_trans_th"] == 0.10       # no per-scene yaml
+
+    # vanilla runs must NOT pick up the orbslam layer: the gates stay at
+    # the ovo.yaml globals, not the scannet orb yaml / per-scene values
+    cfg3 = assemble_run_config(
+        "configs", "ScanNet", "scene0011_00",
+        overrides={"slam": {"slam_module": "vanilla"}})
+    assert cfg3["slam"]["kf_trans_th"] == 0.15       # ovo.yaml global
+    assert cfg3["slam"]["loop_inlier_th"] == 0.0
+
+
 def write_ascii_ply(path, vtx):
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")

@@ -21,7 +21,9 @@ def make_pipeline(tmp_path, stream=False):
                     "n_points_capacity": 1 << 16},
         "tracking": {"track_every": 1},
         "vis": {"stream": stream},
-        "data": {"scene_name": "wall0"}, "cam": {},
+        "data": {"scene_name": "wall0"},
+        "cam": {"fx": 80.0, "fy": 80.0, "cx": 47.5, "cy": 31.5,
+                "H": 64, "W": 96},
         "semantic": {
             "segment_every": 2, "match_distance_th": 0.05, "track_th": 40,
             "depth_filter": False, "log": False, "kf_queue_delay": 1,
@@ -63,7 +65,8 @@ def test_query_handshake_mapper_side(tmp_path):
         if item is not None:
             frames.append(item)
     assert len(frames) >= 3
-    pts, obj_ids, colors = frames[-1]
+    pts, obj_ids, colors, c2w = frames[-1]
+    assert c2w is not None and np.asarray(c2w).shape == (4, 4)
     assert pts.shape[0] == obj_ids.shape[0] == colors.shape[0] > 100
 
     # now issue a query exactly like the viewer does
@@ -90,6 +93,26 @@ def test_stream_viewer_process_roundtrip(tmp_path):
     assert (out / "stream_final_instances.ply").exists()
     assert (out / "stream_query_chair_query.ply").exists()
     assert (out / "stream_query_table_query.ply").exists()
+    # the streamed camera pose produces the frustum lineset export
+    # (reference visualizer.py camera frustum; GUI draws it live, headless
+    # exports the final one)
+    assert (out / "stream_frustum.ply").exists()
+
+
+def test_camera_frustum_lineset_geometry():
+    """Frustum wireframe: apex at the camera center, corners at the
+    image-plane rays, rigid under pose transforms."""
+    from ovo_tpu.viz.visualizer import camera_frustum_lineset
+
+    K = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+    c2w = np.eye(4)
+    c2w[:3, 3] = [1.0, 2.0, 3.0]
+    pts, lines = camera_frustum_lineset(c2w, K, (48, 64), depth=0.5)
+    assert pts.shape == (5, 3) and lines.shape == (8, 2)
+    np.testing.assert_allclose(pts[0], [1.0, 2.0, 3.0])   # optical center
+    # corner 1 = pixel (0,0): x = (0-32)*0.5/100
+    np.testing.assert_allclose(pts[1], [1 - 0.16, 2 - 0.12, 3.5], atol=1e-9)
+    np.testing.assert_allclose(pts[3], [1 + 0.16, 2 + 0.12, 3.5], atol=1e-9)
 
 
 def test_tum_rgbd_association(tmp_path):
@@ -179,7 +202,9 @@ def test_mask_precompute_hook(tmp_path):
         "mapping": {"map_every": 2, "k_pooling": 1, "downscale_res": 1,
                     "n_points_capacity": 1 << 16},
         "tracking": {"track_every": 1},
-        "data": {"scene_name": "wall0"}, "cam": {},
+        "data": {"scene_name": "wall0"},
+        "cam": {"fx": 80.0, "fy": 80.0, "cx": 47.5, "cy": 31.5,
+                "H": 64, "W": 96},
         "semantic": {
             "segment_every": 2, "match_distance_th": 0.05, "track_th": 40,
             "depth_filter": False, "log": False, "kf_queue_delay": 1,
