@@ -191,14 +191,25 @@ def fused_mlp_block(x: Array, fc_w: Array, fc_b: Array, proj_w: Array,
     ``token_block`` bounds the VMEM footprint for long token streams (e.g.
     Hiera stage tensors): each (token_block, D) slab runs LN + the full
     hidden loop before the grid advances. None = whole Lp in one slab (the
-    original dense-tower behavior). Requires Lp % token_block == 0.
+    original dense-tower behavior). Must divide Lp; a non-dividing value
+    raises. COST NOTE: every token block re-streams all fc/proj weight
+    chunks from HBM, multiplying weight traffic by Lp/token_block -- only
+    worth it when the (Lp, hidden) activation slab would not fit VMEM.
+    (No library call site passes token_block today: PERF.md 6c measured
+    the fused blocks at parity-or-worse vs XLA on the dense towers, so
+    they stay opt-in via OVO_FUSED_BLOCK=1.)
     """
     Lp, D = x.shape
     hidden = fc_w.shape[1]
     chunk = min(chunk, hidden)
-    assert hidden % chunk == 0, (hidden, chunk)
+    if hidden % chunk != 0:
+        raise ValueError(
+            f"chunk {chunk} must divide mlp hidden dim {hidden}")
     tb = Lp if token_block is None else min(token_block, Lp)
-    assert Lp % tb == 0, (Lp, tb)
+    if Lp % tb != 0:
+        raise ValueError(
+            f"token_block {tb} must divide token count {Lp}; pick a "
+            f"power-of-two factor (Lp here is {Lp})")
     grid = (Lp // tb, hidden // chunk)
     # 1-D chunked bias streams hit XLA/Mosaic tiling mismatches; carry the
     # fc bias as (8, hidden) with a replicated sublane dim

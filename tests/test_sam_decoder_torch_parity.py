@@ -105,7 +105,8 @@ def torch_decoder(params, image_embed, image_pe, sparse, hires):
          for i in range(NUM_MASK_TOKENS)], 1)
     masks = torch.einsum("bkc,bhwc->bkhw", hyper, up)
     iou = mlp3(params["iou_head"], iou_token, sigmoid=True)
-    obj = lin(params["obj_head"], obj_token)[:, 0]
+    # sam2 pred_obj_score_head: full 3-layer relu MLP
+    obj = mlp3(params["obj_head"], obj_token)[:, 0]
     return masks, iou, obj
 
 
