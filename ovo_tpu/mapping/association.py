@@ -30,6 +30,11 @@ from .map_state import MapState, _scatter_append
 
 Array = jax.Array
 
+# flat-index 4-column pixel gathers + sentinel scatter-set hit masks: the
+# two 2M-row index ops dominate this program on TPU (PERF.md 6o)
+_packed_pixel_table = geo.packed_pixel_table
+hit_mask_scatter = geo.hit_mask_scatter
+
 
 def _validated_seg_image(seg_map: Array, mask_valid: Array, M: int) -> Array:
     """Per-pixel validated seg map as f32: seg id if the id is in range and
@@ -245,20 +250,22 @@ def associate_keyframe(
 
     # RGB/depth resolution remap (ovo.py:218-221): depth-res pixel ->
     # RGB-res pixel of the (higher-resolution) segmentation map.
+    flat_px = vc * w + uc
     if rgb_depth_ratio is None:
-        # one packed 2-channel gather: filtered depth + validated seg id
-        packed = jnp.stack([depth_m, seg_img], axis=-1)
-        g = packed[vc, uc]
+        # one packed gather: filtered depth + validated seg id
+        packed = _packed_pixel_table(depth_m, seg_img)
+        g = packed[flat_px]
         d_m, seg_pt = g[:, 0], g[:, 1].astype(jnp.int32)
     else:
-        d_m = depth_m[vc, uc]
+        d_m = _packed_pixel_table(depth_m)[flat_px, 0]
         r_h, r_w, crop_edge = rgb_depth_ratio
         u2 = ((uc + crop_edge).astype(jnp.float32) * r_w).astype(jnp.int32)
         v2 = ((vc + crop_edge).astype(jnp.float32) * r_h).astype(jnp.int32)
         Hr, Wr = seg_map.shape
         u2 = jnp.clip(u2, 0, Wr - 1)
         v2 = jnp.clip(v2, 0, Hr - 1)
-        seg_pt = seg_img[v2, u2].astype(jnp.int32)
+        seg_pt = _packed_pixel_table(seg_img)[v2 * Wr + u2, 0].astype(
+            jnp.int32)
 
     matched = (in_frustum & in_plane
                & (jnp.abs(z - d_m) < match_distance_th) & (d_m != 0))
@@ -374,16 +381,17 @@ def associate_and_insert_keyframe(
                 (uv[:, 1] >= 0) & (uv[:, 1] < h))
     uc = jnp.clip(uv[:, 0], 0, w - 1)
     vc = jnp.clip(uv[:, 1], 0, h - 1)
+    flat_px = vc * w + uc        # flat 1-D pixel index (cheapest gather form)
 
     if rgb_depth_ratio is None:
         # RGB == depth resolution: fold the seg map into the SAME gather as
         # the depth channels (ids <= M are exact in f32)
-        packed = jnp.stack([depth, depth_m, seg_img], axis=-1)
-        g = packed[vc, uc]                               # one 2M-row gather
+        packed = _packed_pixel_table(depth, depth_m, seg_img)
+        g = packed[flat_px]                              # one 2M-row gather
         d_raw, d_m, seg_pt = g[:, 0], g[:, 1], g[:, 2].astype(jnp.int32)
     else:
-        packed = jnp.stack([depth, depth_m], axis=-1)
-        g = packed[vc, uc]
+        packed = _packed_pixel_table(depth, depth_m)
+        g = packed[flat_px]
         d_raw, d_m = g[:, 0], g[:, 1]
         r_h, r_w, crop_edge = rgb_depth_ratio
         u2 = ((uc + crop_edge).astype(jnp.float32) * r_w).astype(jnp.int32)
@@ -391,7 +399,8 @@ def associate_and_insert_keyframe(
         Hr, Wr = seg_map.shape
         u2 = jnp.clip(u2, 0, Wr - 1)
         v2 = jnp.clip(v2, 0, Hr - 1)
-        seg_pt = seg_img[v2, u2].astype(jnp.int32)
+        seg_tbl = _packed_pixel_table(seg_img)
+        seg_pt = seg_tbl[v2 * Wr + u2, 0].astype(jnp.int32)
 
     base = in_frustum & in_plane
     matched = base & (jnp.abs(z - d_m) < match_distance_th) & (d_m != 0)
@@ -403,8 +412,7 @@ def associate_and_insert_keyframe(
     # Unconditional dedup + select: lax.cond shuttles the big carried
     # buffers through the conditional (profiled at ~20 ms of copies); the
     # dedup math itself is ~2 ms, so compute it always and select.
-    hits = jnp.zeros(depth.shape, jnp.bool_).at[vc, uc].max(
-        ins_matched, mode="drop")
+    hits = hit_mask_scatter(flat_px, ins_matched, h * w).reshape(h, w)
     have_map = map_state.count > 0
     if downscale > 1:
         # subsample fused into the erode window (max_pool_erode stride):
@@ -451,7 +459,7 @@ def associate_and_insert_keyframe(
                   (uv_n[:, 1] >= 0) & (uv_n[:, 1] < h))
     ucn = jnp.clip(uv_n[:, 0], 0, w - 1)
     vcn = jnp.clip(uv_n[:, 1], 0, h - 1)
-    g_n = packed[vcn, ucn]
+    g_n = packed[vcn * w + ucn]
     d_m_n = g_n[:, 1]
     if rgb_depth_ratio is None:
         seg_pt_n = g_n[:, 2].astype(jnp.int32)
@@ -462,7 +470,7 @@ def associate_and_insert_keyframe(
         Hr, Wr = seg_map.shape
         u2n = jnp.clip(u2n, 0, Wr - 1)
         v2n = jnp.clip(v2n, 0, Hr - 1)
-        seg_pt_n = seg_img[v2n, u2n].astype(jnp.int32)
+        seg_pt_n = seg_tbl[v2n * Wr + u2n, 0].astype(jnp.int32)
     matched_n = (in_frustum_n & in_plane_n
                  & (jnp.abs(z_n - d_m_n) < match_distance_th) & (d_m_n != 0))
     seg_n = jnp.where(matched_n, seg_pt_n, -1)

@@ -81,8 +81,11 @@ def map_insert_frame(state: MapState, image: Array, depth: Array, c2w: Array,
         matched, uv = geo.match_points_to_depth(
             depth, jnp.linalg.inv(c2w), state.points, K, match_th,
             valid=in_frustum)
-        hits = jnp.zeros(depth.shape, jnp.bool_).at[uv[:, 1], uv[:, 0]].max(
-            matched, mode="drop")
+        # sentinel scatter-SET (order-independent: every write is 1) --
+        # ~2x cheaper than scatter-max at 2M rows (geo.hit_mask_scatter)
+        hh, ww = depth.shape
+        hits = geo.hit_mask_scatter(uv[:, 1] * ww + uv[:, 0], matched,
+                                    hh * ww).reshape(hh, ww)
         mask_new = mask & ~hits
         # subsample fused into the erode window (max_pool_erode stride)
         return geo.max_pool_erode(mask_new, k_pooling, stride=downscale)

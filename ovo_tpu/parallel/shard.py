@@ -51,7 +51,11 @@ def _local_votes(points, obj_ids, valid, seg_map, mask_valid, depth, c2w,
     else:
         u = jnp.clip(uv[:, 0], 0, Wr - 1)
         v = jnp.clip(uv[:, 1], 0, Hr - 1)
-    seg = jnp.where(matched, seg_map[v, u], -1)
+    # flat 4-column gather (geo.packed_pixel_table): seg ids <= M are
+    # exact in f32
+    seg_g = geo.packed_pixel_table(seg_map.astype(jnp.float32))[
+        v * Wr + u, 0].astype(jnp.int32)
+    seg = jnp.where(matched, seg_g, -1)
     if mask_valid is not None:
         seg = jnp.where((seg >= 0) & (seg < M)
                         & mask_valid[jnp.clip(seg, 0, M - 1)], seg, -1)
