@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import layers as L
-from ...ops.attention import dot_product_attention
+from ...ops.attention import cross_attention_small_head, dot_product_attention
 
 Array = jax.Array
 Params = Dict[str, Any]
@@ -102,6 +102,15 @@ def _attn(p: Params, q: Array, k: Array, v: Array, heads: int) -> Array:
     vv = L.linear(p["v"], v)
     internal = qq.shape[-1]
     hd = internal // heads
+
+    if (Lq <= 64) != (Lk <= 64):
+        # token <-> image cross attention: head dim is internal/heads = 16,
+        # hostile to per-head TPU kernels AND to XLA (f32 score tensors in
+        # HBM, ~1.6 GB/frame at B=256). The block-diag-packed kernel runs
+        # both dots at full 128 lanes with scores VMEM-only and shares
+        # batch-1 image operands across the grid (attention.py).
+        o = cross_attention_small_head(qq, kk, vv, heads)
+        return L.linear(p["out"], o)
 
     def heads_of(t, ln):
         h = t.reshape(t.shape[0], ln, heads, hd).transpose(0, 2, 1, 3)

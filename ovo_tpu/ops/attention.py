@@ -444,3 +444,197 @@ def dot_product_attention(q: Array, k: Array, v: Array,
                           block_q=bq, block_k=bk,
                           kv_len=lk if pad_k else None)
     return out[..., :lq, :d]
+
+
+# ---------------------------------------------------------------------------
+# Small-head-dim cross attention (SAM decoder token <-> image)
+# ---------------------------------------------------------------------------
+# The decoder's cross-attention runs 8 heads of dim 16 (internal 128). On
+# TPU a head dim of 16 fills 16 of 128 lanes, so per-head kernels waste 8x
+# VMEM/MXU, and the XLA path materializes the f32 score + probability
+# tensors in HBM (~1.6 GB/frame at B=256 prompts over L=4096 image rows,
+# PERF.md 6h). Trick: block-diagonally EXPAND the token side so row (h, t)
+# carries head h's 16 dims in lanes [16h, 16h+16) and zeros elsewhere. Then
+#
+#   scores[(h,t), l] = Q_exp[(h,t), :] . K_img[l, :]
+#
+# is ONE full-128-lane MXU dot for all heads at once (the zero lanes of the
+# other heads contribute nothing), and the pv contraction works the same
+# way, with block-diagonality routing each head's probabilities to its own
+# output lanes. Both kernels keep the f32 scores entirely in VMEM and read
+# the image-side tensors exactly once.
+
+def _expand_blockdiag(x: Array, heads: int) -> Array:
+    """(B, T, h*dh) -> (B, h*T, h*dh): row (h, t) holds x[b, t, h-block] in
+    lane block h, zeros elsewhere."""
+    B, T, D = x.shape
+    dh = D // heads
+    z = x.reshape(B, T, heads, dh)
+    eye = jnp.eye(heads, dtype=x.dtype)
+    out = jnp.einsum("bthd,hg->bhtgd", z, eye)
+    return out.reshape(B, heads * T, D)
+
+
+def _extract_blockdiag(x: Array, heads: int, T: int) -> Array:
+    """Inverse read-out of _expand_blockdiag on the OUTPUT side: row (h, t)
+    block h -> (B, T, h*dh)."""
+    B, HT, D = x.shape
+    dh = D // heads
+    o5 = x.reshape(B, heads, HT // heads, heads, dh)[:, :, :T]
+    eye = jnp.eye(heads, dtype=x.dtype)
+    return jnp.einsum("bhtgd,hg->btgd", o5, eye).reshape(B, T, D)
+
+
+def _crossq_kernel(qexp_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """tokens -> image: q_exp (HT, D) block-diag; k/v (L, D) image rows.
+    Row softmax over L, scores VMEM-only."""
+    q = qexp_ref[0]
+    s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p, v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _crossk_kernel(q_ref, kexp_ref, vexp_ref, o_ref, *, scale: float,
+                   heads: int, t_len: int):
+    """image -> tokens: q (L, D) image rows; k/v_exp (HT, D) block-diag
+    tokens. Scores computed TRANSPOSED (HT, L) so the per-head softmax over
+    t reduces along sublane groups; the final dot contracts the (h, t) axis,
+    block-diagonality separating heads."""
+    kx = kexp_ref[0]                                   # (HT, D)
+    HT = kx.shape[0]
+    T = HT // heads
+    s = jax.lax.dot_general(kx, q_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s3 = s.reshape(heads, T, -1)                       # (h, t, L)
+    if t_len < T:
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+        s3 = jnp.where(t_ids < t_len, s3, -1e30)
+    m = jnp.max(s3, axis=1, keepdims=True)
+    p = jnp.exp(s3 - m)
+    p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(vexp_ref.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p.reshape(HT, -1), vexp_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def cross_vmem_bytes(HT: int, L: int, D: int, itemsize: int) -> int:
+    """Per-grid-step footprint of either cross kernel: double-buffered
+    image-side blocks (two of (L, D) for t2i k/v, q+out for i2t) + token
+    blocks, plus the (HT, L) f32 score tile, its exp, and the cast
+    probability tile."""
+    io = 2 * itemsize * (2 * L * D + 2 * HT * D)
+    inter = HT * L * (4 + 4 + itemsize)
+    return io + inter
+
+
+def _cross_fits(HT: int, L: int, D: int, itemsize: int) -> bool:
+    return (D == 128 and HT % 8 == 0 and L % 128 == 0
+            and cross_vmem_bytes(HT, L, D, itemsize) <= _VMEM_BUDGET)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def _crossq_call(qexp, k, v, *, heads, scale, interpret=False):
+    B, HT, D = qexp.shape
+    Bk, L = k.shape[0], k.shape[1]
+    kmap = (lambda i: (i, 0, 0)) if Bk > 1 else (lambda i: (0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_crossq_kernel, scale=scale),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, HT, D), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((1, L, D), kmap),
+                  pl.BlockSpec((1, L, D), kmap)],
+        out_specs=pl.BlockSpec((1, HT, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, HT, D), qexp.dtype),
+        interpret=interpret,
+    )(qexp, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "t_len",
+                                             "interpret"))
+def _crossk_call(q, kexp, vexp, *, heads, scale, t_len, interpret=False):
+    Bq, L, D = q.shape
+    HT = kexp.shape[1]
+    Bk = kexp.shape[0]
+    B = max(Bq, Bk)
+    # batch-1 operands are shared across the grid (constant block index),
+    # never materializing the (B, L, D) broadcast in HBM
+    qmap = (lambda i: (i, 0, 0)) if Bq > 1 else (lambda i: (0, 0, 0))
+    kmap = (lambda i: (i, 0, 0)) if Bk > 1 else (lambda i: (0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_crossk_kernel, scale=scale, heads=heads,
+                          t_len=t_len),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, L, D), qmap),
+                  pl.BlockSpec((1, HT, D), kmap),
+                  pl.BlockSpec((1, HT, D), kmap)],
+        out_specs=pl.BlockSpec((1, L, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
+        interpret=interpret,
+    )(q, kexp, vexp)
+
+
+def _xla_cross(qq: Array, kk: Array, vv: Array, heads: int) -> Array:
+    """Reference path: split heads, xla_attention, merge heads. Operands
+    are PRE-head-split (B, L, h*dh); the two batches may differ (image side
+    enters batch-1 in the decoder's first layer)."""
+    B = max(qq.shape[0], kk.shape[0])
+    D = qq.shape[-1]
+    dh = D // heads
+
+    def heads_of(t):
+        h = t.reshape(t.shape[0], t.shape[1], heads, dh).transpose(0, 2, 1, 3)
+        if h.shape[0] != B:
+            h = jnp.broadcast_to(h, (B,) + h.shape[1:])
+        return h
+
+    o = xla_attention(heads_of(qq), heads_of(kk), heads_of(vv))
+    return o.transpose(0, 2, 1, 3).reshape(B, qq.shape[1], D)
+
+
+def cross_attention_small_head(qq: Array, kk: Array, vv: Array, heads: int,
+                               *, impl: str = "auto") -> Array:
+    """Multi-head attention for PRE-head-split (B, Lq, D) x (B', Lk, D)
+    operands where D = heads * dh with a SMALL dh (the SAM decoder's
+    token <-> image cross attention, dh = 16). One side must be short
+    (<= 64 rows); the short side is block-diagonally expanded so both dots
+    run at full 128 lanes and the f32 scores stay in VMEM. Falls back to
+    the XLA path off-TPU / for unfit shapes / under OVO_NO_PALLAS=1.
+
+    qq/kk/vv carry batch B or 1 (batch-1 operands are shared across the
+    grid without materializing the broadcast)."""
+    import os
+
+    B = max(qq.shape[0], kk.shape[0])
+    Lq, Lk, D = qq.shape[1], kk.shape[1], qq.shape[-1]
+    dh = D // heads
+    scale = dh ** -0.5
+    no_pallas = os.environ.get("OVO_NO_PALLAS") == "1"
+    t2i = Lq <= 64 and Lk > 64
+    i2t = Lk <= 64 and Lq > 64
+    short = Lq if t2i else Lk
+    pad_t = (-short) % 8
+    HT = heads * (short + pad_t)
+    long_len = Lk if t2i else Lq
+    if (impl == "xla" or no_pallas or not _on_tpu() or not (t2i or i2t)
+            or not _cross_fits(HT, long_len, D, qq.dtype.itemsize)):
+        return _xla_cross(qq, kk, vv, heads)
+
+    if t2i:
+        q_in = jnp.pad(qq, ((0, 0), (0, pad_t), (0, 0))) if pad_t else qq
+        qexp = _expand_blockdiag(q_in, heads)
+        if qexp.shape[0] != B:
+            qexp = jnp.broadcast_to(qexp, (B,) + qexp.shape[1:])
+        o = _crossq_call(qexp, kk, vv, heads=heads, scale=scale)
+        return _extract_blockdiag(o, heads, Lq)
+    # i2t
+    k_in = jnp.pad(kk, ((0, 0), (0, pad_t), (0, 0))) if pad_t else kk
+    v_in = jnp.pad(vv, ((0, 0), (0, pad_t), (0, 0))) if pad_t else vv
+    kexp = _expand_blockdiag(k_in, heads)
+    vexp = _expand_blockdiag(v_in, heads)
+    return _crossk_call(qq, kexp, vexp, heads=heads, scale=scale,
+                        t_len=Lk)

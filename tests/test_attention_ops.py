@@ -156,3 +156,62 @@ def test_windowed_fused_attention_matches_xla(rng, b, h, lq, lk, d):
         qp, kp, vp, scale=d ** -0.5, kv_len=lk if lk_pad else None,
         interpret=True)[..., :lq, :d]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("B,Bimg,T,L,heads,dint", [
+    (6, 1, 8, 256, 8, 128),    # decoder layer-0 t2i/i2t: image enters batch-1
+    (6, 6, 8, 256, 8, 128),    # later layers: per-prompt image side
+    (4, 4, 11, 384, 8, 128),   # T not a multiple of 8 -> pad + t_len mask
+])
+def test_cross_attention_small_head_matches_xla(rng, B, Bimg, T, L, heads,
+                                                dint):
+    """The block-diag-packed cross kernels (both directions) against the
+    reference per-head XLA path, exercising the exact decoder padding +
+    batch-1 image sharing recipe via the interpret-mode pallas calls."""
+    from ovo_tpu.ops import attention as att
+
+    tok = jnp.asarray(rng.standard_normal((B, T, dint)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((Bimg, L, dint)), jnp.float32)
+    scale = (dint // heads) ** -0.5
+    pad_t = (-T) % 8
+
+    # tokens -> image
+    ref = att._xla_cross(tok, img, img, heads)
+    tok_p = jnp.pad(tok, ((0, 0), (0, pad_t), (0, 0))) if pad_t else tok
+    qexp = att._expand_blockdiag(tok_p, heads)
+    got = att._crossq_call(qexp, img, img, heads=heads, scale=scale,
+                           interpret=True)
+    got = att._extract_blockdiag(got, heads, T)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+    # image -> tokens (v enters the kernel block-diag-expanded like k)
+    ref = att._xla_cross(img, tok, tok, heads)
+    kexp = att._expand_blockdiag(tok_p, heads)
+    got = att._crossk_call(img, kexp, kexp, heads=heads, scale=scale,
+                           t_len=T, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_cross_attention_small_head_cpu_fallback(rng):
+    """On CPU the public wrapper must route to the XLA path and agree with
+    the per-head reference for both directions and batch-1 image sides."""
+    from ovo_tpu.ops import attention as att
+
+    tok = jnp.asarray(rng.standard_normal((5, 8, 128)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((1, 256, 128)), jnp.float32)
+    got = att.cross_attention_small_head(tok, img, img, 8)
+    ref = att._xla_cross(tok, img, img, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    got = att.cross_attention_small_head(img, tok, tok, 8)
+    ref = att._xla_cross(img, tok, tok, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_cross_vmem_fits_decoder_shape():
+    """The production decoder shape (heads*T = 64 rows, L = 4096, D = 128,
+    bf16) must fit the scoped-VMEM budget; a wildly long image side must be
+    rejected so the wrapper falls back to XLA."""
+    from ovo_tpu.ops import attention as att
+
+    assert att._cross_fits(64, 4096, 128, 2)
+    assert not att._cross_fits(64, 1 << 20, 128, 2)
