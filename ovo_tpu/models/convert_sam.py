@@ -62,6 +62,43 @@ def convert_hiera(sd: Dict, prefix: str = "image_encoder.trunk") -> Dict[str, An
     }
 
 
+def convert_vitdet(sd: Dict, prefix: str = "image_encoder") -> Dict[str, Any]:
+    """SAM1 ViT-det trunk (segment_anything image_encoder.py layout):
+    patch_embed.proj conv, pos_embed stored (1, H, W, C) already
+    channels-last, blocks with attn.{qkv,proj,rel_pos_h,rel_pos_w} and
+    mlp.lin1/lin2, and the 4-module neck (conv1x1, LayerNorm2d, conv3x3,
+    LayerNorm2d; convs biasless)."""
+    n = 0
+    while f"{prefix}.blocks.{n}.norm1.weight" in sd:
+        n += 1
+    blocks = []
+    for i in range(n):
+        p = f"{prefix}.blocks.{i}"
+        blocks.append({
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "attn": {"qkv": _lin(sd, f"{p}.attn.qkv"),
+                     "proj": _lin(sd, f"{p}.attn.proj"),
+                     "rel_pos_h": _np(sd[f"{p}.attn.rel_pos_h"]),
+                     "rel_pos_w": _np(sd[f"{p}.attn.rel_pos_w"])},
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "mlp": {"fc": _lin(sd, f"{p}.mlp.lin1"),
+                    "proj": _lin(sd, f"{p}.mlp.lin2")},
+        })
+    return {
+        "patch": _conv(sd, f"{prefix}.patch_embed.proj"),
+        "pos_embed": _np(sd[f"{prefix}.pos_embed"])[0],    # (H, W, C)
+        "blocks": blocks,
+        "neck": {
+            "conv1": {"w": _np(sd[f"{prefix}.neck.0.weight"]
+                               ).transpose(2, 3, 1, 0)},
+            "ln1": _ln(sd, f"{prefix}.neck.1"),
+            "conv2": {"w": _np(sd[f"{prefix}.neck.2.weight"]
+                               ).transpose(2, 3, 1, 0)},
+            "ln2": _ln(sd, f"{prefix}.neck.3"),
+        },
+    }
+
+
 def convert_neck(sd: Dict, prefix: str = "image_encoder.neck") -> Dict[str, Any]:
     convs = []
     i = 0
@@ -87,8 +124,12 @@ def convert_prompt_encoder(sd: Dict, prefix: str = "sam_prompt_encoder"
     }
 
 
-def convert_mask_decoder(sd: Dict, prefix: str = "sam_mask_decoder"
-                         ) -> Dict[str, Any]:
+def convert_mask_decoder(sd: Dict, prefix: str = "sam_mask_decoder",
+                         obj_token: bool = True) -> Dict[str, Any]:
+    """``obj_token=False`` (SAM1 checkpoints) OMITS the object-score
+    token/head so decode_masks runs the SAM1 token layout; SAM2-style
+    dicts missing those keys still get zero fallbacks (legacy synthetic
+    fixtures)."""
     def attn(p):
         return {"q": _lin(sd, f"{p}.q_proj"), "k": _lin(sd, f"{p}.k_proj"),
                 "v": _lin(sd, f"{p}.v_proj"),
@@ -122,10 +163,6 @@ def convert_mask_decoder(sd: Dict, prefix: str = "sam_mask_decoder"
     params = {
         "iou_token": _np(sd[f"{prefix}.iou_token.weight"]).reshape(-1),
         "mask_tokens": _np(sd[f"{prefix}.mask_tokens.weight"]),
-        "obj_score_token": _np(sd[f"{prefix}.obj_score_token.weight"]
-                               ).reshape(-1)
-        if f"{prefix}.obj_score_token.weight" in sd
-        else np.zeros_like(_np(sd[f"{prefix}.iou_token.weight"]).reshape(-1)),
         "layers": layers,
         "final_attn": attn(f"{prefix}.transformer.final_attn_token_to_image"),
         "norm_final": _ln(sd, f"{prefix}.transformer.norm_final_attn"),
@@ -135,16 +172,23 @@ def convert_mask_decoder(sd: Dict, prefix: str = "sam_mask_decoder"
         "hyper_mlps": [mlp3(f"{prefix}.output_hypernetworks_mlps.{i}")
                        for i in range(n_hyper)],
         "iou_head": mlp3(f"{prefix}.iou_prediction_head"),
+    }
+    if obj_token:
+        params["obj_score_token"] = (
+            _np(sd[f"{prefix}.obj_score_token.weight"]).reshape(-1)
+            if f"{prefix}.obj_score_token.weight" in sd
+            else np.zeros_like(
+                _np(sd[f"{prefix}.iou_token.weight"]).reshape(-1)))
         # full 3-layer MLP (sam2's pred_obj_score_head); legacy fallbacks
         # keep single-linear / headless synthetic dicts loadable
-        "obj_head": (mlp3(f"{prefix}.pred_obj_score_head")
-                     if f"{prefix}.pred_obj_score_head.layers.2.weight" in sd
-                     and f"{prefix}.pred_obj_score_head.layers.0.weight" in sd
-                     else _lin(sd, f"{prefix}.pred_obj_score_head")
-                     if f"{prefix}.pred_obj_score_head.weight" in sd
-                     else {"w": np.zeros((256, 1), np.float32),
-                           "b": np.zeros((1,), np.float32)}),
-    }
+        params["obj_head"] = (
+            mlp3(f"{prefix}.pred_obj_score_head")
+            if f"{prefix}.pred_obj_score_head.layers.2.weight" in sd
+            and f"{prefix}.pred_obj_score_head.layers.0.weight" in sd
+            else _lin(sd, f"{prefix}.pred_obj_score_head")
+            if f"{prefix}.pred_obj_score_head.weight" in sd
+            else {"w": np.zeros((256, 1), np.float32),
+                  "b": np.zeros((1,), np.float32)})
     if f"{prefix}.conv_s0.weight" in sd:
         params["conv_s0"] = _conv(sd, f"{prefix}.conv_s0")
         params["conv_s1"] = _conv(sd, f"{prefix}.conv_s1")
@@ -153,6 +197,16 @@ def convert_mask_decoder(sd: Dict, prefix: str = "sam_mask_decoder"
 
 def convert_sam_state_dict(sd: Dict) -> Dict[str, Any]:
     sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    if not any(k.startswith("image_encoder.trunk.") for k in sd):
+        # SAM1 layout: image_encoder.* is the ViT-det (neck included),
+        # prompt_encoder / mask_decoder carry no sam_ prefix and the
+        # decoder has no object-score parts
+        return {
+            "trunk": convert_vitdet(sd),
+            "prompt": convert_prompt_encoder(sd, prefix="prompt_encoder"),
+            "decoder": convert_mask_decoder(sd, prefix="mask_decoder",
+                                            obj_token=False),
+        }
     return {
         "trunk": convert_hiera(sd),
         "neck": convert_neck(sd),

@@ -17,7 +17,7 @@ candidate axes:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,22 +45,40 @@ def _bilinear_matrix(src: int, dst: int) -> np.ndarray:
     return m
 
 
-def upsample_bilinear_matmul(x: Array, out_hw: Tuple[int, int]) -> Array:
+def upsample_bilinear_matmul(x: Array, out_hw: Tuple[int, int],
+                             mats: Optional[Tuple[Array, Array]] = None
+                             ) -> Array:
     """(M, h, w) -> (M, H, W) bilinear via separable matmuls.
     precision=HIGHEST: the TPU default single-pass MXU mode has ~1e-3
     relative error, and mask-boundary pixels sit exactly where the
     interpolated logits cross the binarization threshold -- keep full f32
-    for parity with the reference's f32 F.interpolate."""
+    for parity with the reference's f32 F.interpolate.
+    ``mats`` overrides the per-axis matrices (SAM1's crop-composed path)."""
     h, w = x.shape[-2:]
     H, W = out_hw
-    mh = jnp.asarray(_bilinear_matrix(h, H))
-    mw = jnp.asarray(_bilinear_matrix(w, W))
+    if mats is None:
+        mh = jnp.asarray(_bilinear_matrix(h, H))
+        mw = jnp.asarray(_bilinear_matrix(w, W))
+    else:
+        mh, mw = mats
     y = jnp.einsum("mhw,hH->mHw", x, mh,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("mHw,wW->mHW", y, mw,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _sam1_upsample_matrix(src: int, full: int, crop: int, dst: int
+                          ) -> np.ndarray:
+    """(src, dst) matrix composing SAM1's two-stage mask upsampling along
+    one axis: low-res logits (src) -> model input res (full), CROP to the
+    un-padded extent (crop), -> original image res (dst). Matches the
+    official postprocess_masks interpolate->crop->interpolate chain as a
+    single matmul."""
+    m1 = _bilinear_matrix(src, full)[:, :crop]         # (src, crop)
+    m2 = _bilinear_matrix(crop, dst)                   # (crop, dst)
+    return m1 @ m2
 
 
 def upsample_bilinear_matmul_blocked(x: Array, out_hw: Tuple[int, int]
@@ -248,13 +266,19 @@ def _amg_program(params, cfg: SAMConfig, image: Array, points: Array, *,
                  nms_inner_th, max_masks, candidates, min_area,
                  gate_prompts=None, out_hw: Tuple[int, int]):
     model = SAMModel(cfg, params)
+    h_in, w_in = image.shape[:2]
     x = model.preprocess(image)
     image_embed, high_res = model.encode_image(x)
+    # SAM1: grid prompts live in the original image's [0,1] box, which
+    # occupies only the top-left (nh, nw) of the padded input square
+    sx, sy = model.point_scale(h_in, w_in)
+    pts = points if (sx, sy) == (1.0, 1.0) else (
+        points * jnp.asarray([sx, sy], points.dtype))
     # multimask outputs only (SAM AMG multimask_output=True -> channels
     # 1:4); the decoder skips the single-mask channel's hypernet/einsum.
     # gate_prompts: only the top-C prompts by token-predicted IoU pay the
     # per-prompt upscale tail (decode_masks top_prompts)
-    out = model.decode_grid(image_embed, high_res, points,
+    out = model.decode_grid(image_embed, high_res, pts,
                             mask_channels=(1, 2, 3),
                             top_prompts=gate_prompts)
     logits = out["masks"]                                # (P, 3, Hm, Wm)
@@ -263,6 +287,16 @@ def _amg_program(params, cfg: SAMConfig, image: Array, points: Array, *,
     Hm, Wm = logits.shape[-2:]
     logits = logits.reshape(P * 3, Hm, Wm)
     iou = iou.reshape(P * 3)
+    if cfg.family == "sam1":
+        # suppress the pad region (official AMG crops at full input res
+        # BEFORE any scoring; the square pad must not count as mask area)
+        nh, nw = model.resized_hw(h_in, w_in)
+        s = cfg.image_size
+        vh, vw = -(-nh * Hm // s), -(-nw * Wm // s)     # ceil at logit res
+        row_ok = jnp.arange(Hm) < vh
+        col_ok = jnp.arange(Wm) < vw
+        logits = jnp.where(row_ok[None, :, None] & col_ok[None, None, :],
+                           logits, mask_threshold - 1e4)
 
     stab = stability_score(logits, mask_threshold, stability_offset)
     masks = logits > mask_threshold
@@ -297,7 +331,15 @@ def _amg_program(params, cfg: SAMConfig, image: Array, points: Array, *,
     # upsample kept masks to image resolution (bilinear on logits, as two
     # MXU matmuls -- gather-based resize is slow on TPU)
     lg = logits[sel][m_sel]
-    lg_up = upsample_bilinear_matmul(lg, out_hw)
+    if cfg.family == "sam1":
+        # compose the official interpolate(S) -> crop(nh, nw) ->
+        # interpolate(out) chain into one matrix per axis
+        s = cfg.image_size
+        mats = (jnp.asarray(_sam1_upsample_matrix(Hm, s, nh, out_hw[0])),
+                jnp.asarray(_sam1_upsample_matrix(Wm, s, nw, out_hw[1])))
+        lg_up = upsample_bilinear_matmul(lg, out_hw, mats=mats)
+    else:
+        lg_up = upsample_bilinear_matmul(lg, out_hw)
     bmaps = (lg_up > mask_threshold) & final_valid[:, None, None]
     seg = masks_to_seg_map(bmaps, final_stab, final_valid)
     return seg, bmaps, final_valid, final_stab
@@ -312,13 +354,17 @@ def build_sam_mask_source(sam_cfg: Dict[str, Any], max_masks: int = 96
     encoder = sam_cfg.get("sam_encoder", "hiera_l")
     ckpt_dir = sam_cfg.get("sam_ckpt_path", "")
     version = sam_cfg.get("sam_version", "2.1")
+    sam1 = version == "" or encoder.startswith("vit")
+    # reference model_cards (segment_utils.py:275): SAM1 files are
+    # sam_vit_b_01ec64.pth etc. (empty sam_version), SAM2 sam2.1_hiera_*.pt
+    cards = ({"vit_b": "vit_b_01ec64.pth", "vit_l": "vit_l_0b3195.pth",
+              "vit_h": "vit_h_4b8939.pth", "vit_test": "vit_test.pth"}
+             if sam1 else
+             {"hiera_l": "hiera_large.pt", "hiera_t": "hiera_tiny.pt",
+              "hiera_s": "hiera_small.pt", "hiera_b+": "hiera_base_plus.pt",
+              "hiera_test": "hiera_test.pt"})
     ckpt = os.path.join(ckpt_dir, f"sam{version}_"
-                        + {"hiera_l": "hiera_large.pt",
-                           "hiera_t": "hiera_tiny.pt",
-                           "hiera_s": "hiera_small.pt",
-                           "hiera_b+": "hiera_base_plus.pt",
-                           "hiera_test": "hiera_test.pt"}.get(encoder,
-                                                              f"{encoder}.pt"))
+                        + cards.get(encoder, f"{encoder}.pt"))
     if os.path.exists(ckpt):
         from ..convert_sam import load_sam_checkpoint
 
@@ -329,14 +375,18 @@ def build_sam_mask_source(sam_cfg: Dict[str, Any], max_masks: int = 96
                   f"using random weights for {encoder}")
         model = SAMModel.random_init(
             encoder, image_size=sam_cfg.get("image_size", 1024))
+    # family-dependent defaults mirror the reference's two sam_config
+    # blocks (segment_utils.py:281-302): SAM1 stability 0.85 / min_area
+    # 100; SAM2 stability 0.95 / min_area 0
     return AutomaticMaskSource(
         model,
         points_per_side=sam_cfg.get("points_per_side", 16),
         pred_iou_thresh=sam_cfg.get("pred_iou_th", 0.8),
-        stability_thresh=sam_cfg.get("stability_score_th", 0.95),
+        stability_thresh=sam_cfg.get("stability_score_th",
+                                     0.85 if sam1 else 0.95),
         nms_iou_th=sam_cfg.get("nms_iou_th", 0.8),
         nms_score_th=sam_cfg.get("nms_score_th", 0.7),
         nms_inner_th=sam_cfg.get("nms_inner_th", 0.5),
         max_masks=max_masks,
-        min_area=sam_cfg.get("min_mask_region_area", 0),
+        min_area=sam_cfg.get("min_mask_region_area", 100 if sam1 else 0),
         gate_prompts=sam_cfg.get("gate_prompts", 128))

@@ -46,14 +46,17 @@ def _init_twoway_layer(key, d: int, heads: int, mlp_dim: int) -> Params:
 
 
 def init_mask_decoder(key, d: int = 256, heads: int = 8, depth: int = 2,
-                      mlp_dim: int = 2048, high_res: bool = True) -> Params:
+                      mlp_dim: int = 2048, high_res: bool = True,
+                      obj_token: bool = True) -> Params:
+    """``obj_token=False`` / ``high_res=False`` build the SAM1 variant
+    (no object-score token/head, no high-res skip convs -- the original
+    mask_decoder.py layout)."""
     ks = jax.random.split(key, 16)
     up1 = d // 4      # 64
     up2 = d // 8      # 32
     p: Params = {
         "iou_token": jax.random.normal(ks[0], (d,)) * 0.02,
         "mask_tokens": jax.random.normal(ks[1], (NUM_MASK_TOKENS, d)) * 0.02,
-        "obj_score_token": jax.random.normal(ks[2], (d,)) * 0.02,
         "layers": [_init_twoway_layer(ks[3 + i], d, heads, mlp_dim)
                    for i in range(depth)],
         "final_attn": _init_attn(ks[6], d, d // 2),
@@ -71,12 +74,15 @@ def init_mask_decoder(key, d: int = 256, heads: int = 8, depth: int = 2,
         "iou_head": {"l0": L.init_linear(ks[12], d, d),
                      "l1": L.init_linear(ks[13], d, d),
                      "l2": L.init_linear(ks[14], d, NUM_MASK_TOKENS)},
+    }
+    if obj_token:
+        p["obj_score_token"] = jax.random.normal(ks[2], (d,)) * 0.02
         # full 3-layer MLP, matching sam2's pred_obj_score_head (a single
         # final linear loses the relu trunk with converted real weights)
-        "obj_head": {"l0": L.init_linear(jax.random.fold_in(ks[15], 0), d, d),
-                     "l1": L.init_linear(jax.random.fold_in(ks[15], 1), d, d),
-                     "l2": L.init_linear(jax.random.fold_in(ks[15], 2), d, 1)},
-    }
+        p["obj_head"] = {
+            "l0": L.init_linear(jax.random.fold_in(ks[15], 0), d, d),
+            "l1": L.init_linear(jax.random.fold_in(ks[15], 1), d, d),
+            "l2": L.init_linear(jax.random.fold_in(ks[15], 2), d, 1)}
     if high_res:
         k2 = jax.random.split(ks[5], 2)
         p["conv_s0"] = {"w": jax.random.normal(k2[0], (1, 1, d, up2)) * 0.05,
@@ -232,9 +238,13 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
     B = sparse_prompts.shape[0]
     H, W, d = image_embed.shape
     cdtype = image_embed.dtype
-    prefix = jnp.concatenate([
-        params["obj_score_token"][None], params["iou_token"][None],
-        params["mask_tokens"]], axis=0).astype(cdtype)     # (2+4, d)
+    # SAM1-variant decoders (init obj_token=False / converted SAM1 ckpts)
+    # carry no object-score token: tokens = iou + 4 mask tokens only
+    has_obj = "obj_score_token" in params
+    head = ([params["obj_score_token"][None]] if has_obj else [])
+    prefix = jnp.concatenate(
+        head + [params["iou_token"][None], params["mask_tokens"]],
+        axis=0).astype(cdtype)                             # (1|2 + 4, d)
     tokens = jnp.concatenate(
         [jnp.broadcast_to(prefix, (B, prefix.shape[0], d)),
          sparse_prompts.astype(cdtype)], axis=1)
@@ -244,9 +254,10 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
     pe = image_pe.reshape(1, H * W, d).astype(cdtype)
     queries, keys = two_way_transformer(params, tokens, src, pe, heads)
 
-    obj_token = queries[:, 0]
-    iou_token = queries[:, 1]
-    mask_tokens = queries[:, 2:2 + NUM_MASK_TOKENS]
+    off = 1 if has_obj else 0
+    obj_token = queries[:, 0] if has_obj else None
+    iou_token = queries[:, off]
+    mask_tokens = queries[:, off + 1:off + 1 + NUM_MASK_TOKENS]
 
     chans = tuple(range(NUM_MASK_TOKENS)) if mask_channels is None \
         else tuple(mask_channels)
@@ -262,7 +273,8 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
             jnp.argsort(-gate, stable=True)[:top_prompts])
         keys = keys[prompt_sel]
         mask_tokens = mask_tokens[prompt_sel]
-        obj_token = obj_token[prompt_sel]
+        if obj_token is not None:
+            obj_token = obj_token[prompt_sel]
         iou_all = iou_all[prompt_sel]
         B = top_prompts
 
@@ -314,8 +326,11 @@ def decode_masks(params: Params, image_embed: Array, image_pe: Array,
             B, 4 * H, 4 * W, -1)
         masks = jnp.einsum("bkc,bhwc->bkhw", hyper, up,
                            preferred_element_type=jnp.float32)
-    oh = params["obj_head"]
-    obj = (_mlp3(oh, obj_token) if "l0" in oh
-           else L.linear(oh, obj_token))[:, 0]  # legacy single-linear ckpts
+    if obj_token is None:
+        obj = jnp.zeros((B,), jnp.float32)   # SAM1: no object-score head
+    else:
+        oh = params["obj_head"]
+        obj = (_mlp3(oh, obj_token) if "l0" in oh
+               else L.linear(oh, obj_token))[:, 0]  # legacy 1-linear ckpts
     return {"masks": masks, "iou": iou_all, "obj_score": obj,
             "prompt_sel": prompt_sel}

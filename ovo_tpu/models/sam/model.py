@@ -17,6 +17,7 @@ from .decoder import decode_masks, init_mask_decoder
 from .hiera import HIERA_CONFIGS, HieraConfig, hiera_forward, init_hiera
 from .neck import init_neck, neck_forward, sine_pos_encoding
 from .prompt import encode_points, init_prompt_encoder, pe_grid
+from .vitdet import VITDET_CONFIGS, ViTDetConfig, init_vitdet, vitdet_forward
 
 Array = jax.Array
 Params = Dict[str, Any]
@@ -33,8 +34,18 @@ class SAMConfig:
     compute_dtype: str = "bfloat16"   # MXU-native inference precision
 
     @property
+    def family(self) -> str:
+        """"sam1" for ViT-det encoders (reference sam_version ""), "sam2"
+        for Hiera (sam_version 2/2.1)."""
+        return "sam1" if self.encoder.startswith("vit") else "sam2"
+
+    @property
     def hiera(self) -> HieraConfig:
         return HIERA_CONFIGS[self.encoder]
+
+    @property
+    def vitdet(self) -> ViTDetConfig:
+        return VITDET_CONFIGS[self.encoder]
 
     @property
     def dtype(self):
@@ -52,8 +63,19 @@ class SAMModel:
     def random_init(cls, encoder: str = "hiera_l", image_size: int = 1024,
                     seed: int = 0) -> "SAMModel":
         cfg = SAMConfig(encoder=encoder, image_size=image_size)
-        hcfg = cfg.hiera
         ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+        if cfg.family == "sam1":
+            # ViT-det trunk carries its own neck; the SAM1 decoder has no
+            # object-score token and no high-res skip convs
+            params = {
+                "trunk": init_vitdet(ks[0], cfg.vitdet),
+                "prompt": init_prompt_encoder(ks[2], cfg.d_model),
+                "decoder": init_mask_decoder(ks[3], cfg.d_model,
+                                             high_res=False,
+                                             obj_token=False),
+            }
+            return cls(cfg, params)
+        hcfg = cfg.hiera
         dim = hcfg.embed_dim
         channels = [int(dim * hcfg.dim_mul ** i) for i in range(4)]
         params = {
@@ -65,18 +87,49 @@ class SAMModel:
         return cls(cfg, params)
 
     # ------------------------------------------------------------------
+    def resized_hw(self, h: int, w: int) -> Tuple[int, int]:
+        """SAM1 ResizeLongestSide target dims (utils/transforms.py
+        get_preprocess_shape: int(dim * S/max + 0.5))."""
+        s = self.cfg.image_size
+        scale = s / max(h, w)
+        return int(h * scale + 0.5), int(w * scale + 0.5)
+
+    def point_scale(self, h: int, w: int) -> Tuple[float, float]:
+        """(sx, sy) mapping [0,1] original-image point prompts into the
+        model's input square. SAM2: identity (square resize). SAM1: the
+        image occupies only the top-left (nh, nw) of the padded square."""
+        if self.cfg.family != "sam1":
+            return (1.0, 1.0)
+        nh, nw = self.resized_hw(h, w)
+        s = self.cfg.image_size
+        return (nw / s, nh / s)
+
     def preprocess(self, image: Array) -> Array:
-        """(H, W, 3) float [0,1] -> (1, S, S, 3) normalized, square resize
-        (SAM2 predictor convention)."""
+        """(H, W, 3) float [0,1] -> (1, S, S, 3) normalized. SAM2: square
+        resize (SAM2 predictor convention). SAM1: aspect-preserving resize
+        of the longest side + zero padding bottom/right (the original
+        predictor's ResizeLongestSide + pad; zero = the normalized mean)."""
         s = self.cfg.image_size
         from ...ops.resize import resize_channels_last
 
+        if self.cfg.family == "sam1":
+            h, w = image.shape[:2]
+            nh, nw = self.resized_hw(h, w)
+            img = resize_channels_last(image, (nh, nw))
+            img = (img - self._mean) / self._std
+            img = jnp.pad(img, ((0, s - nh), (0, s - nw), (0, 0)))
+            return img[None].astype(self.cfg.dtype)
         img = resize_channels_last(image, (s, s))
         return ((img - self._mean) / self._std)[None].astype(self.cfg.dtype)
 
     def encode_image(self, image: Array) -> Tuple[Array, List[Array]]:
         """-> (image_embed (H16, W16, d), high_res [(H4, W4, 32),
-        (H8, W8, 64)]) for the decoder."""
+        (H8, W8, 64)]) for the decoder. SAM1 (ViT-det) has no high-res
+        skip features: returns (embed, None)."""
+        if self.cfg.family == "sam1":
+            emb = vitdet_forward(self.params["trunk"], self.cfg.vitdet,
+                                 image)
+            return emb[0], None
         feats = hiera_forward(self.params["trunk"], self.cfg.hiera, image)
         fpn = neck_forward(self.params["neck"], feats)
         # scalp: discard the lowest-resolution level (stride 32)
