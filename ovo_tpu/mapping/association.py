@@ -201,7 +201,7 @@ def mask_level_tail(store: InstanceStore, ins_of_mask: Array, n_new: Array,
 @functools.partial(
     jax.jit,
     static_argnames=("match_distance_th", "track_th", "use_depth_filter",
-                     "unbounded_top_k", "rgb_depth_ratio"),
+                     "unbounded_top_k", "rgb_depth_ratio", "active_rows"),
     donate_argnums=(0, 1))  # map/instance buffers update in place on TPU
 def associate_keyframe(
     map_state: MapState,
@@ -219,6 +219,7 @@ def associate_keyframe(
     use_depth_filter: bool = True,
     unbounded_top_k: bool = True,
     rgb_depth_ratio: Tuple[float, float, int] | None = None,
+    active_rows: int | None = None,
 ) -> Tuple[MapState, InstanceStore, KeyframeMatch]:
     """One-program per-keyframe association (see module docstring).
 
@@ -228,17 +229,30 @@ def associate_keyframe(
     returned state; pass ``jax.tree_util.tree_map(jnp.copy, x)`` to keep an
     input alive. CPU runs ignore donation, so only real-TPU use catches
     violations.
+
+    ``active_rows``: static bucket bounding the rows the per-point ops
+    touch. Points are stored contiguously in [0, count) (appends and the
+    LC rebuild both preserve this), so every gather/scatter/vote runs on
+    ``points[:active_rows]`` -- the per-keyframe cost scales with the
+    OCCUPIED bucket, not the allocated capacity (PERF.md 6p). CALLER
+    CONTRACT: active_rows >= count (bit-exactness vs the full program is
+    pinned by tests/test_association.py; violating the bound silently
+    drops valid points from association).
     """
     M = binary_maps.shape[0]
     Kcap = store.capacity
-    points = map_state.points
-    obj = map_state.obj_ids
+    AR = (active_rows if active_rows is not None
+          and active_rows < map_state.capacity else None)
+    points = map_state.points if AR is None else map_state.points[:AR]
+    obj_full = map_state.obj_ids
+    obj = obj_full if AR is None else obj_full[:AR]
+    row_valid = (map_state.valid_mask() if AR is None
+                 else jnp.arange(AR) < map_state.count)
 
     # ---- geometry: cull + project + depth match (ovo.py:204-222) ----
     seg_img = _validated_seg_image(seg_map, mask_valid, M)  # pixel space
     corners = geo.compute_camera_frustum_corners(depth, c2w, K)
-    in_frustum = geo.points_in_frustum(points, corners,
-                                       valid=map_state.valid_mask())
+    in_frustum = geo.points_in_frustum(points, corners, valid=row_valid)
     depth_m = geo.depth_filter(depth) if use_depth_filter else depth
 
     h, w = depth.shape
@@ -286,6 +300,8 @@ def associate_keyframe(
     point_ins = _mask_slot_lookup(seg, ins_of_mask, M)   # MXU, not gather
     update = (~assigned) & (point_ins >= 0)
     new_obj = jnp.where(update, point_ins, obj)
+    if AR is not None:
+        new_obj = jax.lax.dynamic_update_slice(obj_full, new_obj, (0,))
     map_state = map_state._replace(obj_ids=new_obj)
 
     # ---- mask-level tail: mint + fuse + areas + top-k (ovo.py:284-324) ----
@@ -318,7 +334,7 @@ def mask_tail_program(store: InstanceStore, ins_of_mask: Array, n_new: Array,
     jax.jit,
     static_argnames=("match_distance_th", "track_th", "use_depth_filter",
                      "unbounded_top_k", "rgb_depth_ratio", "insert_match_th",
-                     "k_pooling", "downscale"),
+                     "k_pooling", "downscale", "active_rows"),
     donate_argnums=(0, 1))  # map/instance buffers update in place on TPU
 def associate_and_insert_keyframe(
     map_state: MapState,
@@ -340,6 +356,7 @@ def associate_and_insert_keyframe(
     insert_match_th: float = 0.03,
     k_pooling: int = 3,
     downscale: int = 2,
+    active_rows: int | None = None,
 ) -> Tuple[MapState, InstanceStore, KeyframeMatch]:
     """Fused association + vanilla map insert for frames on both cadences.
 
@@ -360,11 +377,21 @@ def associate_and_insert_keyframe(
     histogram), and their ids come from the same mask->instance lookup as
     the write-back. tests/test_association.py pins bit-exact equality with
     the two-step flow.
+
+    ``active_rows``: static occupied-bucket bound for the per-point ops
+    (see associate_keyframe; caller guarantees active_rows >= count;
+    appends still go to the full buffer, but the NEXT call's active_rows
+    must cover the grown count).
     """
     M = binary_maps.shape[0]
     Kcap = store.capacity
-    points = map_state.points
-    obj = map_state.obj_ids
+    AR = (active_rows if active_rows is not None
+          and active_rows < map_state.capacity else None)
+    points = map_state.points if AR is None else map_state.points[:AR]
+    obj_full = map_state.obj_ids
+    obj = obj_full if AR is None else obj_full[:AR]
+    row_valid = (map_state.valid_mask() if AR is None
+                 else jnp.arange(AR) < map_state.count)
     h, w = depth.shape
 
     # ---- pixel-space tables (cheap: H*W work, not N work) ----
@@ -373,8 +400,7 @@ def associate_and_insert_keyframe(
 
     # ---- shared geometry: one projection + ONE packed gather ----
     corners = geo.compute_camera_frustum_corners(depth, c2w, K)
-    in_frustum = geo.points_in_frustum(points, corners,
-                                       valid=map_state.valid_mask())
+    in_frustum = geo.points_in_frustum(points, corners, valid=row_valid)
     w2c = jnp.linalg.inv(c2w)
     uv, z = geo.project_points(points, K, w2c)
     in_plane = ((uv[:, 0] >= 0) & (uv[:, 0] < w) &
@@ -490,6 +516,8 @@ def associate_and_insert_keyframe(
     point_ins = _mask_slot_lookup(seg, ins_of_mask, M)   # MXU, not gather
     update = (~assigned) & (point_ins >= 0)
     new_obj = jnp.where(update, point_ins, obj)
+    if AR is not None:
+        new_obj = jax.lax.dynamic_update_slice(obj_full, new_obj, (0,))
     map_state = map_state._replace(obj_ids=new_obj)
     obj_n = _mask_slot_lookup(seg_n, ins_of_mask, M)     # ids for new points
     n_matched = (jnp.sum(matched.astype(jnp.int32))

@@ -291,3 +291,70 @@ def test_fused_associate_insert_matches_two_step(rng, downscale, k_pooling):
     appended_objs = np.asarray(s2.obj_ids[n0:n])
     assert appended_objs.size > 0
     assert (appended_objs >= 0).any()
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_active_rows_bucket_is_bit_exact(rng, fused):
+    """active_rows (the occupied-bucket bound, PERF.md 6p) must reproduce
+    the full-capacity program bit-for-bit whenever active_rows >= count --
+    including the untouched tail of obj_ids beyond the bucket."""
+    import jax.numpy as jnp
+
+    from ovo_tpu.mapping import association
+    from ovo_tpu.mapping.instances import init_instance_store
+    from ovo_tpu.mapping.map_state import init_map_state, map_insert_frame
+
+    H, W = 48, 64
+    N = 1 << 14                       # capacity
+    AR = 1 << 12                      # bucket: count (3072) < 4096 < N
+    M, Kcap = 8, 32
+    K = jnp.asarray(np.array([[50.0, 0, 31.5], [0, 50.0, 23.5], [0, 0, 1]],
+                             np.float32))
+    c2w = jnp.asarray(np.eye(4, dtype=np.float32))
+    vv, uu = np.meshgrid(np.arange(H, dtype=np.float32),
+                         np.arange(W, dtype=np.float32), indexing="ij")
+    depth = jnp.asarray(2.0 + 0.4 * np.sin(uu / 19.0) + 0.3 * vv / H)
+    img = jnp.asarray((rng.random((H, W, 3)) * 255).astype(np.uint8))
+    seg = jnp.asarray(rng.integers(-1, M, (H, W)).astype(np.int32))
+    bmaps = jnp.asarray(rng.random((M, H, W)) > 0.7)
+    valid = jnp.ones(M, bool)
+    kf = jnp.asarray(3, jnp.int32)
+    kw = dict(match_distance_th=0.05, track_th=20, use_depth_filter=True,
+              unbounded_top_k=True)
+
+    def seeded():
+        st = init_map_state(N)
+        return map_insert_frame(st, img, depth, c2w, K, downscale=1,
+                                match_th=0.03)
+
+    assert int(seeded().count) <= AR
+
+    if fused:
+        def run(ar):
+            return association.associate_and_insert_keyframe(
+                seeded(), init_instance_store(Kcap, 16), seg, bmaps, valid,
+                img, depth, c2w, K, kf, downscale=1, insert_match_th=0.03,
+                active_rows=ar, **kw)
+    else:
+        def run(ar):
+            return association.associate_keyframe(
+                seeded(), init_instance_store(Kcap, 16), seg, bmaps, valid,
+                depth, c2w, K, kf, active_rows=ar, **kw)
+
+    s_full, st_full, m_full = run(None)
+    s_b, st_b, m_b = run(AR)
+
+    np.testing.assert_array_equal(np.asarray(m_full.ins_ids),
+                                  np.asarray(m_b.ins_ids))
+    np.testing.assert_array_equal(np.asarray(m_full.keep),
+                                  np.asarray(m_b.keep))
+    np.testing.assert_array_equal(np.asarray(m_full.fused_maps),
+                                  np.asarray(m_b.fused_maps))
+    assert int(m_full.n_matched) == int(m_b.n_matched)
+    assert int(m_full.n_new) == int(m_b.n_new)
+    assert int(s_full.count) == int(s_b.count)
+    np.testing.assert_array_equal(np.asarray(s_full.obj_ids),
+                                  np.asarray(s_b.obj_ids))
+    np.testing.assert_array_equal(np.asarray(st_full.centroid_sum),
+                                  np.asarray(st_b.centroid_sum)) \
+        if hasattr(st_full, "centroid_sum") else None
