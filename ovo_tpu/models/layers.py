@@ -31,6 +31,10 @@ def linear(p: Params, x: Array) -> Array:
 
 
 def layer_norm(p: Params, x: Array, eps: float = 1e-5) -> Array:
+    # Stays on XLA: the single-pass Pallas row kernel (ops/layer_norm.py)
+    # measured dead even with this fusion at every production shape once
+    # dispatch overhead was amortized (PERF.md 6q), so the extra dispatch
+    # path is not worth carrying in the hot towers.
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)

@@ -101,11 +101,17 @@ def _attn(p: Params, q: Array, k: Array, v: Array, heads: int) -> Array:
     others' batch B: projections run on the SMALL batch (a shared image
     embedding projects once, not per prompt) and only the head tensors
     broadcast into the attention."""
-    B = max(q.shape[0], k.shape[0])
-    Lq, Lk = q.shape[1], k.shape[1]
     qq = L.linear(p["q"], q)
     kk = L.linear(p["k"], k)
     vv = L.linear(p["v"], v)
+    return _attn_core(p["out"], qq, kk, vv, heads)
+
+
+def _attn_core(p_out: Params, qq: Array, kk: Array, vv: Array,
+               heads: int) -> Array:
+    """Attention body on PRE-projected internal-dim operands."""
+    B = max(qq.shape[0], kk.shape[0])
+    Lq, Lk = qq.shape[1], kk.shape[1]
     internal = qq.shape[-1]
     hd = internal // heads
 
@@ -116,7 +122,7 @@ def _attn(p: Params, q: Array, k: Array, v: Array, heads: int) -> Array:
         # both dots at full 128 lanes with scores VMEM-only and shares
         # batch-1 image operands across the grid (attention.py).
         o = cross_attention_small_head(qq, kk, vv, heads)
-        return L.linear(p["out"], o)
+        return L.linear(p_out, o)
 
     def heads_of(t, ln):
         h = t.reshape(t.shape[0], ln, heads, hd).transpose(0, 2, 1, 3)
@@ -126,7 +132,28 @@ def _attn(p: Params, q: Array, k: Array, v: Array, heads: int) -> Array:
 
     o = dot_product_attention(heads_of(qq, Lq), heads_of(kk, Lk),
                               heads_of(vv, Lk))
-    return L.linear(p["out"], o.transpose(0, 2, 1, 3).reshape(B, Lq, internal))
+    return L.linear(p_out, o.transpose(0, 2, 1, 3).reshape(B, Lq, internal))
+
+
+def _img_side_proj(t2i: Params, keys: Array, image_pe: Array,
+                   i2t: Optional[Params]):
+    """Packed image-side projections reading the (B, L, d) keys stream
+    ONCE (PERF.md 6r): kk/vv for cross_t2i (+ qq for cross_i2t when
+    given), with the batch-1 positional term folded in separately --
+    (keys + pe) @ W == keys @ W + (pe @ W + b), so the big matmul runs on
+    raw keys and the pe/bias corrections stay batch-1."""
+    ws = [t2i["k"]["w"], t2i["v"]["w"]] + ([i2t["q"]["w"]] if i2t else [])
+    W = jnp.concatenate([w.astype(keys.dtype) for w in ws], axis=1)
+    proj = keys @ W                                    # ONE keys read
+    di = t2i["k"]["w"].shape[1]
+    kk = proj[..., :di] + L.linear(t2i["k"], image_pe)
+    vv = proj[..., di:2 * di]
+    if t2i["v"].get("b") is not None:
+        vv = vv + t2i["v"]["b"].astype(vv.dtype)
+    if i2t is None:
+        return kk, vv, None
+    qq = proj[..., 2 * di:] + L.linear(i2t["q"], image_pe)
+    return kk, vv, qq
 
 
 def _mlp3(p: Params, x: Array, sigmoid_out: bool = False) -> Array:
@@ -157,19 +184,30 @@ def two_way_transformer(params: Params, tokens: Array, image: Array,
             attn_out = _attn(layer["self_attn"], q, q, queries, heads)
         queries = L.layer_norm(layer["norm1"], queries + attn_out)
         q = queries + q_pe
-        k = keys + image_pe
-        attn_out = _attn(layer["cross_t2i"], q, k, keys, heads)
+        # packed image-side projections: the (B, L, d) keys stream is read
+        # once per layer for t2i kk/vv AND the i2t qq (PERF.md 6r)
+        kk_img, vv_img, qq_img = _img_side_proj(
+            layer["cross_t2i"], keys, image_pe, layer["cross_i2t"])
+        attn_out = _attn_core(layer["cross_t2i"]["out"],
+                              L.linear(layer["cross_t2i"]["q"], q),
+                              kk_img, vv_img, heads)
         queries = L.layer_norm(layer["norm2"], queries + attn_out)
         queries = L.layer_norm(
             layer["norm3"], queries + L.mlp(layer["mlp"], queries,
                                             act=jax.nn.relu))
-        attn_out = _attn(layer["cross_i2t"], k, q, queries, heads)
+        attn_out = _attn_core(layer["cross_i2t"]["out"], qq_img,
+                              L.linear(layer["cross_i2t"]["k"], q),
+                              L.linear(layer["cross_i2t"]["v"], queries),
+                              heads)
         if keys.shape[0] != B:
             keys = jnp.broadcast_to(keys, (B,) + keys.shape[1:])
         keys = L.layer_norm(layer["norm4"], keys + attn_out)
     q = queries + q_pe
-    k = keys + image_pe
-    attn_out = _attn(params["final_attn"], q, k, keys, heads)
+    kk_img, vv_img, _ = _img_side_proj(params["final_attn"], keys,
+                                       image_pe, None)
+    attn_out = _attn_core(params["final_attn"]["out"],
+                          L.linear(params["final_attn"]["q"], q),
+                          kk_img, vv_img, heads)
     queries = L.layer_norm(params["norm_final"], queries + attn_out)
     return queries, keys
 

@@ -215,3 +215,43 @@ def test_cross_vmem_fits_decoder_shape():
 
     assert att._cross_fits(64, 4096, 128, 2)
     assert not att._cross_fits(64, 1 << 20, 128, 2)
+
+
+@pytest.mark.parametrize("rows,c,dtype", [
+    (4039, 1024, jnp.bfloat16),   # PE tower (7, 577, 1024): odd rows -> pad
+    (1048576, 256, jnp.bfloat16),  # decoder norm4 (256*4096, 256)
+    (2048, 128, jnp.float32),
+])
+def test_pallas_layer_norm_matches_xla(rng, rows, c, dtype):
+    """The single-pass LN kernel (a tested utility, not wired into the
+    towers — PERF.md 6q) must match the f32-statistics XLA layer_norm to
+    output-dtype rounding."""
+    from ovo_tpu.ops import layer_norm as pln
+
+    if rows * c > 1 << 22:    # keep interpret-mode wall time sane
+        rows = 4096
+    x = jnp.asarray(rng.standard_normal((rows, c)), dtype)
+    scale = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    ref = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * scale
+           + bias).astype(dtype)
+
+    got = pln._ln_call(x, scale, bias, eps=1e-5, interpret=True)
+    # bf16: allow one output ULP (f32 reduction-order difference in var)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=1e-2 if dtype == jnp.bfloat16 else 1e-6,
+        atol=3e-2 if dtype == jnp.bfloat16 else 1e-5)
+
+
+def test_pallas_layer_norm_fit_gate():
+    from ovo_tpu.ops import layer_norm as pln
+
+    assert pln.fits(4039, 1024, 2)
+    assert pln.fits(1048576, 256, 2)
+    assert not pln.fits(64, 1024, 2)       # tiny: dispatch overhead wins
+    assert not pln.fits(4096, 144, 2)      # hiera stage-1: lanes untiled

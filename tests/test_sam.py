@@ -226,8 +226,13 @@ def test_sam_conversion_roundtrip(tiny_sam):
 
 
 def test_amg_batch_matches_single(tiny_sam):
-    """get_masks_batch is bit-identical per frame to get_masks (SAM is
-    map-independent, so micro-batching keyframes must not change masks)."""
+    """get_masks_batch is per-frame equivalent to get_masks (SAM is
+    map-independent, so micro-batching keyframes must not change mask
+    semantics). NOT asserted bitwise: vmap changes XLA tiling, so bf16
+    tower activations round differently under the batched program (the
+    committed encoder already differs by 1 bf16 ulp under vmap) and
+    threshold-tie pixels may flip. We pin: identical valid-mask sets,
+    seg maps equal outside a tiny tie band, and per-mask IoU ~ 1."""
     amg = AutomaticMaskSource(tiny_sam, points_per_side=4,
                               pred_iou_thresh=0.0, stability_thresh=0.0,
                               nms_score_th=0.0, max_masks=16, candidates=32)
@@ -236,11 +241,16 @@ def test_amg_batch_matches_single(tiny_sam):
     seg_b, bmaps_b, valid_b = amg.get_masks_batch(imgs)
     for j in range(2):
         seg, bmaps, valid = amg.get_masks(imgs[j], j)
-        np.testing.assert_array_equal(np.asarray(seg_b[j]), np.asarray(seg))
-        np.testing.assert_array_equal(np.asarray(bmaps_b[j]),
-                                      np.asarray(bmaps))
         np.testing.assert_array_equal(np.asarray(valid_b[j]),
                                       np.asarray(valid))
+        seg, seg_j = np.asarray(seg), np.asarray(seg_b[j])
+        frac = (seg != seg_j).mean()
+        assert frac < 1e-3, f"seg maps diverge on {frac:.2%} of pixels"
+        bm, bm_j = np.asarray(bmaps), np.asarray(bmaps_b[j])
+        for m in np.flatnonzero(np.asarray(valid)):
+            inter = (bm[m] & bm_j[m]).sum()
+            union = (bm[m] | bm_j[m]).sum()
+            assert union == 0 or inter / union > 0.99, f"mask {m} IoU low"
 
 
 def test_conv_transpose2x_matches_torch():
