@@ -136,6 +136,20 @@ def grid_points(points_per_side: int) -> np.ndarray:
     return np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.float32)
 
 
+def min_area_cells(min_area: float, valid_cells: int,
+                   out_hw: Tuple[int, int]) -> float:
+    """Reference min_mask_region_area units (original-res pixels,
+    segment_utils.py sam_config) -> logit-res cell count for the
+    whole-mask `area >` gate. The reference's operation is
+    connected-component small-region removal at output resolution that
+    never drops whole masks; this filter approximates it (documented in
+    PARITY.md section 7) and at minimum must compare in the right units:
+    one logit cell covers out_h*out_w/valid_cells original pixels."""
+    if not min_area:
+        return 0.0
+    return min_area * valid_cells / float(out_hw[0] * out_hw[1])
+
+
 def stability_score(logits: Array, mask_threshold: float, offset: float
                     ) -> Array:
     """IoU between the mask thresholded at +/- offset (SAM amg)."""
@@ -287,9 +301,15 @@ def _amg_program(params, cfg: SAMConfig, image: Array, points: Array, *,
     Hm, Wm = logits.shape[-2:]
     logits = logits.reshape(P * 3, Hm, Wm)
     iou = iou.reshape(P * 3)
+    logits_raw = logits        # unsuppressed: fed to the upsample matmuls
     if cfg.family == "sam1":
-        # suppress the pad region (official AMG crops at full input res
-        # BEFORE any scoring; the square pad must not count as mask area)
+        # suppress the pad region FOR SCORING ONLY (official AMG crops at
+        # full input res before any scoring; the square pad must not count
+        # as mask area/stability). The upsample below keeps the raw logits:
+        # its crop-composed matrices already exclude the pad, and the
+        # official postprocess_masks interpolates the model's REAL
+        # pad-region logits at the crop boundary -- feeding the sentinel
+        # there would drag every edge-touching mask's last rows/cols to 0.
         nh, nw = model.resized_hw(h_in, w_in)
         s = cfg.image_size
         vh, vw = -(-nh * Hm // s), -(-nw * Wm // s)     # ceil at logit res
@@ -297,12 +317,15 @@ def _amg_program(params, cfg: SAMConfig, image: Array, points: Array, *,
         col_ok = jnp.arange(Wm) < vw
         logits = jnp.where(row_ok[None, :, None] & col_ok[None, None, :],
                            logits, mask_threshold - 1e4)
+        area_gate = min_area_cells(min_area, vh * vw, out_hw)
+    else:
+        area_gate = min_area_cells(min_area, Hm * Wm, out_hw)
 
     stab = stability_score(logits, mask_threshold, stability_offset)
     masks = logits > mask_threshold
     area = jnp.sum(masks.astype(jnp.int32), axis=(1, 2))
     keep = ((iou > pred_iou_thresh) & (stab >= stability_thresh)
-            & (area > min_area))
+            & (area > area_gate))
 
     # keep top-C candidates by predicted iou (static axis for the NMS stages)
     score_order = jnp.argsort(-jnp.where(keep, iou, -jnp.inf), stable=True)
@@ -329,8 +352,10 @@ def _amg_program(params, cfg: SAMConfig, image: Array, points: Array, *,
     final_stab = jnp.where(final_valid, stab_c[m_sel], -jnp.inf)
 
     # upsample kept masks to image resolution (bilinear on logits, as two
-    # MXU matmuls -- gather-based resize is slow on TPU)
-    lg = logits[sel][m_sel]
+    # MXU matmuls -- gather-based resize is slow on TPU). Uses the RAW
+    # (unsuppressed) logits: for SAM1 the composed crop matrices already
+    # exclude the pad, and real boundary logits must feed the interpolation.
+    lg = logits_raw[sel][m_sel]
     if cfg.family == "sam1":
         # compose the official interpolate(S) -> crop(nh, nw) ->
         # interpolate(out) chain into one matrix per axis

@@ -219,6 +219,48 @@ def test_sam1_amg_end_to_end_nonsquare(rng):
     assert np.asarray(valid).any()
 
 
+def test_sam1_upsample_uses_raw_boundary_logits():
+    """ADVICE r3 (medium): the pad-suppression sentinel must not feed the
+    crop-composed upsample. Full-res rows near the crop edge interpolate
+    across the valid/pad boundary at logit res, so a mask that is positive
+    everywhere (including the model's real pad logits) must stay positive
+    across the whole output -- the sentinel would drag the last rows to
+    -inf-ish values."""
+    from ovo_tpu.models.sam.amg import (_sam1_upsample_matrix,
+                                        upsample_bilinear_matmul)
+
+    Hm = Wm = 16
+    s, nh, nw, out = 256, 192, 256, (96, 128)
+    vh, vw = -(-nh * Hm // s), -(-nw * Wm // s)
+    raw = jnp.ones((1, Hm, Wm), jnp.float32)       # positive everywhere
+    row_ok = jnp.arange(Hm) < vh
+    col_ok = jnp.arange(Wm) < vw
+    suppressed = jnp.where(row_ok[None, :, None] & col_ok[None, None, :],
+                           raw, -1e4)
+    mats = (jnp.asarray(_sam1_upsample_matrix(Hm, s, nh, out[0])),
+            jnp.asarray(_sam1_upsample_matrix(Wm, s, nw, out[1])))
+    up_raw = np.asarray(upsample_bilinear_matmul(raw, out, mats=mats))
+    up_sup = np.asarray(upsample_bilinear_matmul(suppressed, out, mats=mats))
+    assert (up_raw > 0).all()                       # the fixed behavior
+    assert (up_sup[:, -1, :] < 0).any()             # what the bug would do
+
+
+def test_sam1_min_area_rescaled_to_logit_cells():
+    """ADVICE r3 (low): min_area arrives in original-res pixels
+    (reference min_mask_region_area = 100); the whole-mask gate compares
+    logit-res cell counts, so the threshold must shrink by
+    valid_cells/(out_h*out_w)."""
+    from ovo_tpu.models.sam.amg import min_area_cells
+
+    # SAM1 vit_h: 256x256 logits, valid 192x256 cells, 480x640 output:
+    # one cell covers 480*640/(192*256) = 6.25 px -> 100 px == 16 cells
+    assert min_area_cells(100, 192 * 256, (480, 640)) == 16.0
+    # disabled gate stays disabled
+    assert min_area_cells(0, 192 * 256, (480, 640)) == 0.0
+    # SAM2 square path: 100 px at 1024^2 output with 256^2 logit cells
+    assert min_area_cells(100, 256 * 256, (1024, 1024)) == 6.25
+
+
 def test_sam1_factory_dispatch(tmp_path):
     """sam_version "" builds the SAM1 family with its reference defaults
     (stability 0.85, min_area 100) and the sam_<card>.pth filename."""
