@@ -397,3 +397,76 @@ def test_sharded_associate_ratio_parity(mesh8, rng):
     np.testing.assert_array_equal(np.asarray(sh_m.ins_ids),
                                   np.asarray(ref_m.ins_ids))
     assert int(sh_m.n_new) == int(ref_m.n_new)
+
+
+def _collective_counts(hlo_text):
+    """Count collective ops in optimized HLO (instruction defs only,
+    excluding the -done halves of async pairs)."""
+    import re
+
+    counts = {}
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute", "reduce-scatter"):
+        # match the op application (RHS, after the result shape -- which
+        # may be a tuple with spaces); async pairs count once via -start,
+        # the -done half never matches
+        counts[op] = len(re.findall(rf"\s{op}(?:-start)?\(", hlo_text))
+    return counts
+
+
+def test_sharded_associate_exactly_one_collective(mesh8):
+    """Structural guarantee for the 'one collective per keyframe' claim
+    (shard.py module docstring): the compiled point-sharded association
+    program contains exactly ONE all-reduce (XLA fuses the votes psum and
+    the n_matched psum into a single tuple all-reduce) and NO other
+    collective of any kind. A regression that adds a second collective --
+    e.g. an accidental replicated consumer of sharded state -- fails here
+    even if numerics still pass."""
+    from ovo_tpu.parallel.shard import sharded_associate_step, \
+        sharded_vote_step
+
+    H, W, N, M, Kc = 32, 48, 1024, 8, 32
+    K = np.array([[40.0, 0, W / 2 - 0.5], [0, 40.0, H / 2 - 0.5],
+                  [0, 0, 1]], dtype=np.float32)
+    args = (mesh8, jnp.zeros((N, 3), jnp.float32), jnp.zeros(N, jnp.int32),
+            jnp.ones(N, bool), jnp.zeros((H, W), jnp.int32),
+            jnp.ones(M, bool), jnp.ones((H, W), jnp.float32),
+            jnp.eye(4, dtype=jnp.float32), jnp.asarray(K),
+            jnp.zeros((), jnp.int32))
+    txt = sharded_associate_step.lower(
+        *args, n_masks=M, n_instances=Kc).compile().as_text()
+    counts = _collective_counts(txt)
+    assert counts["all-reduce"] == 1, counts
+    assert all(v == 0 for k, v in counts.items() if k != "all-reduce"), counts
+
+    # the vote-only step makes the same guarantee
+    txt = sharded_vote_step.lower(
+        mesh8, *args[1:5], *args[6:9], n_masks=M,
+        n_instances=Kc).compile().as_text()
+    counts = _collective_counts(txt)
+    assert counts["all-reduce"] == 1, counts
+    assert all(v == 0 for k, v in counts.items() if k != "all-reduce"), counts
+
+
+def test_sharded_similarity_collectives(mesh8, rng):
+    """The instance-sharded query program itself is collective-FREE (the
+    output stays sharded; the documented all-gather belongs to downstream
+    replicated consumers, not this program)."""
+    from ovo_tpu.parallel.shard import sharded_similarity
+
+    def sim(txt, descs):
+        return descs @ txt.T
+
+    txt_e = jnp.asarray(rng.normal(size=(3, 16)).astype(np.float32))
+    descs = jnp.asarray(rng.normal(size=(40, 16)).astype(np.float32))
+    # mirror sharded_similarity's internals to lower the same program
+    import jax as _jax
+    from jax.sharding import PartitionSpec as _P
+
+    n, d = descs.shape
+    pad = (-n) % mesh8.shape["dp"]
+    descs_p = jnp.concatenate([descs, jnp.zeros((pad, d), descs.dtype)])
+    prog = _jax.jit(_jax.shard_map(sim, mesh=mesh8, in_specs=(_P(), _P("dp")),
+                                   out_specs=_P("dp")))
+    counts = _collective_counts(prog.lower(txt_e, descs_p).compile().as_text())
+    assert all(v == 0 for v in counts.values()), counts
