@@ -29,6 +29,10 @@ class OVOSemMap:
         io_utils.save_dict_to_yaml(config, "config.yaml",
                                    directory=self.output_path)
         config["output_path"] = str(self.output_path)
+        # top-level debug_info gates the semantic core's per-keyframe debug
+        # records (reference ovomapping.py:58)
+        config.setdefault("semantic", {})["debug_info"] = \
+            config.get("debug_info", False)
         self.config = config
 
         self.map_every = config["mapping"].get("map_every", 10)
@@ -116,10 +120,12 @@ class OVOSemMap:
 
     # ------------------------------------------------------------------
     def save_representation(self) -> None:
+        map_params = self.slam_backbone.get_map_dict()
         ckpt = {
-            "map_params": self.slam_backbone.get_map_dict(),
+            "map_params": map_params,
             "ovo_map_params": self.ovo.capture_dict(
-                debug_info=self.config.get("debug", False)),
+                debug_info=self.config.get("debug", False),
+                map_dict=map_params),
         }
         io_utils.save_dict_to_ckpt(ckpt, "ovo_map.ckpt",
                                    directory=self.output_path)

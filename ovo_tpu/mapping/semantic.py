@@ -31,6 +31,26 @@ from .map_state import MapState
 _MEDOID_FUSIONS = ("l1_medoid", "cossim_medoid")
 
 
+def instance_pixel_map(fused_maps, ins_ids, keep):
+    """(M, H, W) fused masks + (M,) instance ids -> (H, W) i32 per-pixel
+    instance map, -1 where uncovered. Replicates the reference debug_info
+    rasterization (ovo.py:231-236): masks written in slot order, LATER
+    slots overwriting earlier on overlap (slot order follows seg-map index
+    order in both implementations)."""
+    import jax
+
+    @jax.jit
+    def _run(fused_maps, ins_ids, keep):
+        ids = jnp.where(keep & (ins_ids >= 0), ins_ids, -1)
+        cover = fused_maps & (ids >= 0)[:, None, None]
+        M = fused_maps.shape[0]
+        last = (M - 1) - jnp.argmax(cover[::-1], axis=0)       # (H, W)
+        covered = jnp.any(cover, axis=0)
+        return jnp.where(covered, ids[last], -1).astype(jnp.int32)
+
+    return _run(fused_maps, ins_ids, keep)
+
+
 class SemanticMapper:
     """Holds the instance store + keyframe queue and drives the per-keyframe
     device programs. Mirrors OVO's public surface: detect_and_track_objects,
@@ -87,6 +107,16 @@ class SemanticMapper:
         # kf_id -> (ins_ids (M,), descs (M, D) f32, keep (M,)), device-
         # resident (no fetch in the hot path; ~0.4 MB per keyframe)
         self.kf_descriptors: Dict[int, tuple] = {}
+
+        # debug_info mode (reference ovo.yaml:20 / ovo.py:32,231-236): keep
+        # the per-keyframe association record (matched instance ids + mask
+        # areas) and the per-pixel instance map so capture_dict can emit
+        # the reference-exact debug checkpoint layout (ovo.py:538-549,
+        # instance3d.py:191-209). Host-side numpy, like the reference's
+        # .cpu() copies.
+        self.debug_info = bool(config.get("debug_info", False))
+        self.kf_records: Dict[int, tuple] = {}   # kf -> (ins_ids, areas) np
+        self.kf_ins_maps: Dict[int, np.ndarray] = {}
 
         # SAM micro-batching (perf knob, default off = exact reference
         # cadence): masks are map-independent, so B segment-keyframes can
@@ -203,6 +233,15 @@ class SemanticMapper:
             dict(ins_ids=match.ins_ids, keep=match.keep,
                  fused_maps=match.fused_maps, image=image, kf_id=self.kf_id))
         self.frame_ids.append(frame_id)
+        if self.debug_info:
+            # reference parity: record matched ids + areas (Instance3D
+            # kfs_ids/top_kf bookkeeping) and the per-pixel instance map
+            # (ovo.py:231-236); fetched now like the reference's .cpu()
+            self.kf_records[self.kf_id] = (np.asarray(match.ins_ids),
+                                           np.asarray(match.areas))
+            self.kf_ins_maps[self.kf_id] = np.asarray(
+                instance_pixel_map(match.fused_maps, match.ins_ids,
+                                   match.keep))
         self.kf_id += 1
 
         if self.log and self.logger is not None:
@@ -391,6 +430,16 @@ class SemanticMapper:
                 ids >= 0, remap_j[jnp.clip(ids, 0, self.store.capacity - 1)],
                 ids)
             self.kf_descriptors[k] = (new_ids, descs, keep)
+        # debug records follow the merge too (the reference's
+        # fuse_instances merges kfs_ids/points_ids/top_kf into the
+        # survivor, instance_utils.py:26-35)
+        for k, (ids, areas) in list(self.kf_records.items()):
+            new_ids = np.where(ids >= 0,
+                               remap[np.clip(ids, 0, len(remap) - 1)], ids)
+            self.kf_records[k] = (new_ids, areas)
+        # NOTE kf_ins_maps stay as recorded: the reference remaps only the
+        # descriptor dict on fusion (ovo.py:412-419), never the stored
+        # ins_maps snapshots
 
     # ------------------------------------------------------------------
     # Query / classification (ovo.py:473-527)
@@ -442,7 +491,20 @@ class SemanticMapper:
     # Checkpointing (ovo.py:529-576 key layout)
     # ------------------------------------------------------------------
 
-    def capture_dict(self, debug_info: bool = False) -> Dict[str, Any]:
+    def capture_dict(self, debug_info: bool = False,
+                     map_dict: Optional[Dict[str, Any]] = None
+                     ) -> Dict[str, Any]:
+        """Reference-exact checkpoint dict (ovo.py:529-549 +
+        instance3d.py:191-209). With ``debug_info`` the dict additionally
+        carries, per instance, ``ins3d_<id>_keyframes_ids`` (every keyframe
+        the instance matched, in kf order), ``ins3d_<id>_points_ids``
+        (point ids currently assigned in the map -- derived from
+        ``map_dict``; the reference itself prefers the map's
+        point_ins_ids over the never-pruned per-object lists,
+        instance3d.py:245-249), ``ins3d_<id>_top_kfs`` ((area, kf_id)
+        pairs in valid-heap order), plus ``frame_id``, the stacked
+        ``ins_map`` snapshots, and the per-(kf, instance)
+        ``kf_<i>_ins3d_<j>_clips`` descriptors."""
         ids = self.active_ids()
         out: Dict[str, Any] = {"ins_3d_ids": np.asarray(ids)}
         feats = np.asarray(self.store.clip_feature)
@@ -450,35 +512,171 @@ class SemanticMapper:
         for i in ids:
             out[f"ins3d_{i}_clip_feature"] = feats[i] if has[i] else None
             out[f"ins3d_{i}_clip_feature_kf"] = 0 if has[i] else None
-        if debug_info:
-            out["frame_id"] = np.asarray(self.frame_ids)
-            out["desc_cnt"] = np.asarray(self.store.desc_cnt)[ids]
-            out["n_points"] = np.asarray(self.store.n_points)[ids]
+        if not debug_info:
+            return out
+
+        out["frame_id"] = np.asarray(self.frame_ids)
+        # per-instance kf/area records from the association-time snapshots
+        kfs_of: Dict[int, list] = {int(i): [] for i in ids}
+        tops_of: Dict[int, list] = {int(i): [] for i in ids}
+        for kf in sorted(self.kf_records):
+            rec_ids, rec_areas = self.kf_records[kf]
+            for j in np.nonzero(rec_ids >= 0)[0]:
+                i = int(rec_ids[j])
+                if i in kfs_of:
+                    kfs_of[i].append(kf)
+                    tops_of[i].append((int(rec_areas[j]), kf))
+        bounded = not self.unbounded_top_k
+        top_area = np.asarray(self.store.top_area) if bounded else None
+        top_kf = np.asarray(self.store.top_kf) if bounded else None
+        pts_ids = pts_obj = None
+        if map_dict is not None:
+            pts_ids = np.asarray(map_dict["ids"])
+            pts_obj = np.asarray(map_dict["obj_ids"])
+        for i in ids:
+            i = int(i)
+            out[f"ins3d_{i}_keyframes_ids"] = np.asarray(kfs_of[i],
+                                                         np.int64)
+            if pts_ids is not None:
+                out[f"ins3d_{i}_points_ids"] = pts_ids[pts_obj == i]
+            else:
+                out[f"ins3d_{i}_points_ids"] = np.zeros((0,), np.int64)
+            if bounded:
+                vs = top_area[i] >= 0
+                pairs = np.stack([top_area[i][vs], top_kf[i][vs]],
+                                 axis=1).astype(np.int64)
+                # ascending (area, kf) is a valid min-heap ordering
+                order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+                out[f"ins3d_{i}_top_kfs"] = pairs[order]
+            else:
+                # unbounded k_top_views (reference default 10000): every
+                # matched keyframe enters the heap
+                out[f"ins3d_{i}_top_kfs"] = np.asarray(
+                    sorted(tops_of[i]), np.int64).reshape(-1, 2)
+        if self.kf_ins_maps:
+            out["ins_map"] = np.stack(
+                [self.kf_ins_maps[k] for k in sorted(self.kf_ins_maps)])
+        else:
+            out["ins_map"] = np.zeros((0, 1, 1), np.int32)
+        for kf, (d_ids, d_descs, d_keep) in self.kf_descriptors.items():
+            d_ids_np = np.asarray(d_ids)
+            d_keep_np = np.asarray(d_keep)
+            d_descs_np = np.asarray(d_descs)
+            for j in np.nonzero(d_keep_np & (d_ids_np >= 0))[0]:
+                out[f"kf_{kf}_ins3d_{int(d_ids_np[j])}_clips"] = \
+                    d_descs_np[j]
         return out
 
     def restore_dict(self, scene_dict: Dict[str, Any],
                      debug_info: bool = False) -> None:
+        """Consume a reference-layout checkpoint (ovo.py:551-576), including
+        legacy ``default_<id>_*`` keys (instance3d.py old_restore)."""
         ids = np.asarray(scene_dict["ins_3d_ids"]).astype(np.int64)
         if len(ids) and ids.max() >= self.n_instances:
             self.store = init_instance_store(
                 int(ids.max()) + 1, self.clip_dim,
                 n_slots=self.store.n_slots,
                 store_slot_descs=self.fusion in _MEDOID_FUSIONS)
+
+        def get(i, field):
+            v = scene_dict.get(f"ins3d_{i}_{field}")
+            if v is None:
+                v = scene_dict.get(f"default_{i}_{field}")  # old_restore
+            return v
+
         active = np.zeros(self.store.capacity, bool)
         feats = np.zeros((self.store.capacity, self.clip_dim), np.float32)
         has = np.zeros(self.store.capacity, bool)
+        n_points = np.zeros(self.store.capacity, np.int32)
         for i in ids:
             active[i] = True
-            f = scene_dict.get(f"ins3d_{i}_clip_feature")
+            f = get(i, "clip_feature")
             if f is not None:
                 feats[i] = np.asarray(f, np.float32).reshape(-1)[:self.clip_dim]
                 has[i] = True
+        desc_sum = feats.copy()
+        desc_cnt = has.astype(np.int32)
+
+        if debug_info:
+            self.frame_ids = [int(x) for x in
+                              np.asarray(scene_dict["frame_id"]).ravel()]
+            self.kf_id = len(self.frame_ids)
+            # per-kf instance-map snapshots (reference splits the stacked
+            # array back per keyframe, ovo.py:570)
+            ins_map = scene_dict.get("ins_map")
+            self.kf_ins_maps = {}
+            if ins_map is not None and len(np.asarray(ins_map)):
+                arr = np.asarray(ins_map)
+                for k in range(min(len(arr), self.kf_id)):
+                    self.kf_ins_maps[k] = arr[k]
+            # per-instance records
+            self.kf_records = {}
+            rec: Dict[int, Dict[int, int]] = {}
+            for i in ids:
+                i = int(i)
+                kfs = get(i, "keyframes_ids")
+                tops = get(i, "top_kfs")
+                areas_of = {}
+                if tops is not None:
+                    for area, kf in np.asarray(tops).reshape(-1, 2):
+                        areas_of[int(kf)] = int(area)
+                if kfs is not None:
+                    for kf in np.asarray(kfs).ravel():
+                        rec.setdefault(int(kf), {})[i] = \
+                            areas_of.get(int(kf), 0)
+                pts = get(i, "points_ids")
+                if pts is not None:
+                    n_points[i] = len(np.asarray(pts).ravel())
+                if tops is not None and not self.unbounded_top_k:
+                    pairs = np.asarray(tops).reshape(-1, 2).astype(np.int64)
+                    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+                    pairs = pairs[order][-self.store.n_slots:]
+                    ta = np.asarray(self.store.top_area)
+                    tk = np.asarray(self.store.top_kf)
+                    ta[i, :len(pairs)] = pairs[:, 0]
+                    tk[i, :len(pairs)] = pairs[:, 1]
+                    self.store = self.store._replace(
+                        top_area=jnp.asarray(ta), top_kf=jnp.asarray(tk))
+            for kf, ins_areas in rec.items():
+                rids = np.fromiter(ins_areas.keys(), np.int32,
+                                   len(ins_areas))
+                rareas = np.fromiter(ins_areas.values(), np.int32,
+                                     len(ins_areas))
+                self.kf_records[kf] = (rids, rareas)
+            # per-(kf, instance) descriptors -> kf_descriptors + the
+            # streaming (sum, count) fusion state they imply
+            self.kf_descriptors = {}
+            desc_sum[:] = 0.0
+            desc_cnt[:] = 0
+            for kf in range(self.kf_id):
+                d_ids, d_descs = [], []
+                for i in ids:
+                    d = scene_dict.get(f"kf_{kf}_ins3d_{int(i)}_clips")
+                    if d is not None:
+                        d = np.asarray(d, np.float32).reshape(-1)
+                        d_ids.append(int(i))
+                        d_descs.append(d[:self.clip_dim])
+                        desc_sum[int(i)] += d[:self.clip_dim]
+                        desc_cnt[int(i)] += 1
+                if d_ids:
+                    self.kf_descriptors[kf] = (
+                        jnp.asarray(np.asarray(d_ids, np.int32)),
+                        jnp.asarray(np.stack(d_descs)),
+                        jnp.ones((len(d_ids),), jnp.bool_))
+            # instances with a fused feature but no stored per-kf clips
+            # fall back to the non-debug streaming state (feature counts
+            # as one view) so later keyframe drops stay well-defined
+            orphan = (desc_cnt == 0) & has
+            desc_sum[orphan] = feats[orphan]
+            desc_cnt[orphan] = 1
+
         self.store = self.store._replace(
             active=jnp.asarray(active),
             clip_feature=jnp.asarray(feats),
             has_clip=jnp.asarray(has),
-            desc_sum=jnp.asarray(feats),
-            desc_cnt=jnp.asarray(has.astype(np.int32)),
+            desc_sum=jnp.asarray(desc_sum),
+            desc_cnt=jnp.asarray(desc_cnt),
+            n_points=jnp.asarray(n_points),
             next_id=jnp.asarray(int(ids.max()) + 1 if len(ids) else 0,
                                 jnp.int32),
         )
