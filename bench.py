@@ -351,6 +351,9 @@ def main():
         "value": round(fps, 3),
         "unit": "keyframes/s",
         "vs_baseline": round(fps / REFERENCE_EST_KF_PER_SEC, 2),
+        # the denominator is a DERIVED estimate, not a measurement: the
+        # reference publishes no kf/s (BASELINE.md) -- carry the band
+        "baseline_note": "vs derived 1.0 kf/s estimate, +/-25% band",
     }))
 
 

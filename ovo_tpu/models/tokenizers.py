@@ -24,6 +24,7 @@ import html
 import os
 import re
 import string
+import unicodedata
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -246,9 +247,15 @@ class SentencePieceTokenizer:
 
     def encode(self, text: str) -> List[int]:
         """Viterbi segmentation maximizing the sum of piece log-probs
-        (sentencepiece unigram). Whitespace becomes the U+2581 meta symbol
-        with a leading boundary, matching SentencePiece's default
-        ``add_dummy_prefix`` normalization."""
+        (sentencepiece unigram). Normalization follows SentencePiece's
+        default ``nmt_nfkc`` spec: NFKC, collapse duplicate internal
+        whitespace, strip leading/trailing whitespace (caught by
+        scripts/validate_tokenizers.py --selftest: the raw mapping used
+        to keep duplicate spaces as extra U+2581 pieces). Whitespace then
+        becomes the U+2581 meta symbol with a leading boundary
+        (``add_dummy_prefix``)."""
+        text = unicodedata.normalize("NFKC", text)
+        text = " ".join(text.split())
         s = "▁" + text.replace(" ", "▁")
         n = len(s)
         NEG = -1e18

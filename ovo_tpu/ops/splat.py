@@ -27,6 +27,18 @@ the same tiles (tests/test_knn_splat.py):
 The Gaussian-SLAM backbone therefore defaults k_per_tile to 128
 (backbone.py; config knob mapping.k_per_tile). Convergence to the exact
 composite is monotone in K.
+
+RUNTIME MONITORING: every render also returns ``trunc_residual`` -- a
+conservative estimate of the compositing weight lost to truncation:
+per pixel, the post-K transmittance times the weight n_trunc gaussians
+contributing like the nearest truncated one would soak up
+(T_K * (1 - (1 - a_{K+1})^n_trunc)), maxed over tiles. 0 means the
+render is exact regardless of K; over-estimation only costs an
+unnecessary escalation, never a silently wrong render. ``render_gaussians_adaptive`` escalates
+k_per_tile through power-of-2 buckets (recompile-bounded) until the
+residual clears a threshold or K reaches G (exact compositing); the
+Gaussian-SLAM backbone runs this check once per mapped keyframe and
+sticks with the escalated bucket (mapping.adaptive_k_per_tile).
 """
 from __future__ import annotations
 
@@ -44,6 +56,10 @@ class RenderOutput(NamedTuple):
     depth: Array   # (H, W)
     alpha: Array   # (H, W)
     radii: Array   # (G,) screen-space radius (0 = culled)
+    trunc_residual: Array = jnp.float32(0.0)
+    # () f32: conservative per-pixel estimate of compositing weight lost
+    # to K-truncation, max over tiles: T_K * (1 - (1 - a_{K+1})^n_trunc)
+    # (0 when no tile had more touching gaussians than k_per_tile)
 
 
 def quat_to_rotmat(q: Array) -> Array:
@@ -131,29 +147,37 @@ def render_gaussians(xyz: Array, scales: Array, quats: Array,
     ty0 = jnp.clip(((uv[:, 1] - radius) // tile).astype(jnp.int32), 0, n_ty - 1)
     ty1 = jnp.clip(((uv[:, 1] + radius) // tile).astype(jnp.int32), 0, n_ty - 1)
 
+    # select K+1: the extra row is the NEAREST TRUNCATED gaussian, used
+    # only by the residual monitor (it never composites)
+    k_sel = min(k_per_tile + 1, G)
+
     def tile_select(ti):
         ty, tx = ti // n_tx, ti % n_tx
         touches = visible & (tx >= tx0) & (tx <= tx1) & (ty >= ty0) & (ty <= ty1)
         score = jnp.where(touches, -z, -jnp.inf)   # nearest first
-        top = jax.lax.top_k(score, k_per_tile)
+        top = jax.lax.top_k(score, k_sel)
         idx = top[1]
         ok = jnp.isfinite(top[0])
-        return idx, ok
+        n_trunc = jnp.maximum(
+            jnp.sum(touches.astype(jnp.int32)) - k_per_tile, 0)
+        return idx, ok, n_trunc
 
-    tile_idx, tile_ok = jax.vmap(tile_select)(jnp.arange(n_ty * n_tx))
+    tile_idx, tile_ok, tile_ntr = jax.vmap(tile_select)(
+        jnp.arange(n_ty * n_tx))
 
     # per-tile compositing
     py = jnp.arange(tile)
     px = jnp.arange(tile)
     gy, gx = jnp.meshgrid(py, px, indexing="ij")
 
-    def composite(ti, idx, ok):
+    def composite(ti, idx_all, ok_all, n_trunc):
         ty, tx = ti // n_tx, ti % n_tx
         ys = (ty * tile + gy).astype(jnp.float32)
         xs = (tx * tile + gx).astype(jnp.float32)
-        sel_uv = uv[idx]
-        sel_conic = conic[idx]
-        sel_op = opacity[idx]
+        idx, ok = idx_all[:k_per_tile], ok_all[:k_per_tile]
+        sel_uv = uv[idx_all]
+        sel_conic = conic[idx_all]
+        sel_op = opacity[idx_all]
         sel_col = colors[idx]
         sel_z = z[idx]
         # sort selected by depth (top_k of -z gives ascending z already)
@@ -162,8 +186,9 @@ def render_gaussians(xyz: Array, scales: Array, quats: Array,
         power = -0.5 * (sel_conic[:, 0, 0, None, None] * dx * dx
                         + sel_conic[:, 1, 1, None, None] * dy * dy
                         + 2 * sel_conic[:, 0, 1, None, None] * dx * dy)
-        alpha = jnp.clip(sel_op[:, None, None] * jnp.exp(power), 0.0, 0.999)
-        alpha = jnp.where(ok[:, None, None], alpha, 0.0)
+        alpha_all = jnp.clip(sel_op[:, None, None] * jnp.exp(power),
+                             0.0, 0.999)
+        alpha = jnp.where(ok[:, None, None], alpha_all[:k_per_tile], 0.0)
         # front-to-back: T_i = prod_{j<i} (1 - a_j)
         one_m = 1.0 - alpha
         trans = jnp.concatenate(
@@ -175,10 +200,28 @@ def render_gaussians(xyz: Array, scales: Array, quats: Array,
         depth = jnp.einsum("kij,k->ij", w, sel_z,
                            preferred_element_type=jnp.float32)
         acc = jnp.sum(w, axis=0)
-        return color, depth, acc
+        # truncation residual: CONSERVATIVE estimate of the compositing
+        # weight the truncated gaussians could still receive at each
+        # pixel -- T_K * (1 - (1 - a_next)^n_trunc), modeling every
+        # truncated gaussian as contributing like the NEAREST one (the
+        # K+1-th selected row, the only one evaluated). Farther truncated
+        # gaussians contribute less (smaller projection, lower weight),
+        # so this over-estimates -> unnecessary escalation is the failure
+        # mode, never a silently wrong render. A tile merely grazed by
+        # radius-box corners has a_next ~ 0 and reports no residual.
+        if k_sel > k_per_tile:
+            a_next = jnp.where(ok_all[k_per_tile], alpha_all[k_per_tile],
+                               0.0)                  # (t, t)
+            final_t = trans[-1] * one_m[-1]          # (t, t)
+            missed = 1.0 - (1.0 - a_next) ** n_trunc.astype(jnp.float32)
+            resid = jnp.max(final_t * missed)
+        else:
+            resid = jnp.float32(0.0)                 # K = G: exact
+        return color, depth, acc, resid
 
-    colors_t, depth_t, acc_t = jax.vmap(composite)(
-        jnp.arange(n_ty * n_tx), tile_idx, tile_ok)
+    colors_t, depth_t, acc_t, resid_t = jax.vmap(composite)(
+        jnp.arange(n_ty * n_tx), tile_idx, tile_ok, tile_ntr)
+    trunc_residual = jnp.max(resid_t)
 
     def untile(x):
         c = x.shape[3:]
@@ -188,4 +231,32 @@ def render_gaussians(xyz: Array, scales: Array, quats: Array,
 
     return RenderOutput(color=untile(colors_t), depth=untile(depth_t),
                         alpha=untile(acc_t),
-                        radii=jnp.where(visible, radius, 0.0))
+                        radii=jnp.where(visible, radius, 0.0),
+                        trunc_residual=trunc_residual)
+
+
+def render_gaussians_adaptive(xyz: Array, scales: Array, quats: Array,
+                              opacity: Array, colors: Array, valid: Array,
+                              w2c: Array, K: Array, *,
+                              img_hw: Tuple[int, int], tile: int = 16,
+                              k_per_tile: int = 128,
+                              residual_th: float = 0.05,
+                              max_k: int = 0) -> Tuple[RenderOutput, int]:
+    """Render with runtime K-escalation: if any truncated tile still has
+    more than ``residual_th`` transmittance after its K nearest gaussians,
+    double k_per_tile (power-of-2 buckets bound recompiles) and re-render,
+    up to ``max_k`` (0 = G, i.e. exact compositing). Returns
+    (output, k_used) -- callers stick with k_used for subsequent renders
+    of the same map. Host-side control: one scalar fetch per attempt."""
+    import numpy as np
+
+    G = xyz.shape[0]
+    cap = min(max_k or G, G)
+    k = min(k_per_tile, cap)
+    while True:
+        out = render_gaussians(xyz, scales, quats, opacity, colors, valid,
+                               w2c, K, img_hw=img_hw, tile=tile,
+                               k_per_tile=k)
+        if k >= cap or float(np.asarray(out.trunc_residual)) <= residual_th:
+            return out, k
+        k = min(2 * k, cap)

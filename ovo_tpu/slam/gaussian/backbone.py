@@ -68,6 +68,12 @@ class WrapperGaussianSLAM:
                 "filter_seed_outliers",
                 dataset_name in ("scannet", "tum_rgbd", "tum"))),
         )
+        # runtime K-truncation escalation (ops/splat.py monitor): checked
+        # once per mapped keyframe; escalated buckets are sticky
+        self.adaptive_k = bool(mapping.get("adaptive_k_per_tile", True))
+        self.k_residual_th = float(mapping.get("k_residual_th", 0.05))
+        self.max_k_per_tile = int(mapping.get(
+            "max_k_per_tile", min(8 * self.cfg.k_per_tile, 1024)))
         self.track_iters = int(tracking.get("iterations", 60))
         self.gt_camera = bool(tracking.get("gt_camera", False))
         self.adaptive_loss_th = float(tracking.get("adaptive_loss_th", 0.0))
@@ -214,6 +220,24 @@ class WrapperGaussianSLAM:
         self.kfs[frame_id] = None
         self._n_mapped += 1
         self._view_perm = None  # map changed; invalidate the semantic view
+        if self.adaptive_k:
+            # runtime K-truncation monitor (once per mapped keyframe): if
+            # a truncated tile keeps > residual_th transmittance after its
+            # K nearest gaussians, escalate k_per_tile (power-of-2 bucket,
+            # sticky for all subsequent renders of this map)
+            from ...ops.splat import render_gaussians_adaptive
+
+            _, k_used = render_gaussians_adaptive(
+                self.state.xyz, self.state.scales(), self.state.quats,
+                self.state.opacity(), self.state.colors(),
+                self.state.valid, w2c, self.K, img_hw=dep.shape,
+                k_per_tile=self.cfg.k_per_tile,
+                residual_th=self.k_residual_th, max_k=self.max_k_per_tile)
+            if k_used > self.cfg.k_per_tile:
+                print(f"[gaussian] K-truncation residual > "
+                      f"{self.k_residual_th}: k_per_tile "
+                      f"{self.cfg.k_per_tile} -> {k_used}")
+                self.cfg = self.cfg._replace(k_per_tile=k_used)
         dump_vis = (self.vis_every > 0 and self.output_path
                     and (self._n_mapped - 1) % self.vis_every == 0)
         if self.log_psnr or dump_vis:

@@ -167,6 +167,42 @@ def test_pipeline_sam_batch_matches_serial(tmp_path):
     np.testing.assert_allclose(results[1][2], results[2][2], atol=1e-5)
 
 
+def test_sam_batch_miou_cost_on_noisy_fixture(tmp_path):
+    """Quantify the accuracy cost of sam.batch > 1 where it can actually
+    show (VERDICT r3): the micro-batch path defers association of buffered
+    keyframes by (B-1)*segment_every frames against a correspondingly
+    fuller map (semantic.py flush_segmentation). The degraded-mask fixture
+    is timing-sensitive (shifted + wrong-label mask bands), so any
+    deferral cost lands in the end-to-end mIoU. Asserts the batch-2 delta
+    stays under 0.05 mIoU; the measured table lives in PARITY.md section
+    'sam.batch accuracy'."""
+    from synthetic_scene import noisy_mask_fn
+
+    miou = {}
+    for batch in (1, 2, 4):
+        out = tmp_path / f"nb{batch}"
+        ds = SyntheticWallDataset(n_frames=12)
+        embeds = class_embeddings(16)
+        text_embeds = {f"This is a photo of a {c}": embeds[i]
+                       for i, c in enumerate(CLASSES)}
+        text_embeds.update({c: embeds[i] for i, c in enumerate(CLASSES)})
+        embedder = RecordedEmbedder(16, mask_label_fn, embeds, text_embeds)
+        mask_source = CallableMaskSource(noisy_mask_fn, max_masks=16)
+        cfg = make_config()
+        cfg["semantic"]["sam"] = {"batch": batch}
+        sem_map = OVOSemMap(cfg, out, mask_source=mask_source,
+                            embedder=embedder, dataset=ds)
+        sem_map.run()
+        miou[batch] = _device_miou(sem_map)
+    print(f"[sam-batch] noisy-fixture mIoU: " +
+          ", ".join(f"b{b}={m:.4f}" for b, m in miou.items()))
+    assert 0.2 < miou[1] < 0.985          # degraded, off the ceiling
+    assert abs(miou[2] - miou[1]) < 0.05, miou
+    # batch-4 defers by up to 3*segment_every frames; keep it recorded and
+    # loosely bounded rather than silently unmeasured
+    assert abs(miou[4] - miou[1]) < 0.10, miou
+
+
 def test_pipeline_orbslam_tier_e2e(tmp_path):
     """Full OVOSemMap loop with slam_module=orbslam: poses come from the
     native dense tracker (NOT GT), mapping only fires on tracker keyframes,

@@ -180,3 +180,20 @@ def test_fallback_is_loud_and_hash(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "WARNING" in err and "GARBAGE" in err
     assert tok.vocab_size == card.text.vocab_size
+
+
+def test_cross_validation_harness_selftest():
+    """scripts/validate_tokenizers.py --selftest: our Viterbi segmenter
+    must agree with an independent brute-force max-score oracle on the
+    prompt corpus, and the diff machinery must catch a corrupted vocab.
+    (This harness found the missing nmt_nfkc whitespace normalization.)"""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "validate_tokenizers",
+        pathlib.Path(__file__).parent.parent / "scripts" /
+        "validate_tokenizers.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.selftest() == 0
