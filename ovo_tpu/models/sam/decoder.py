@@ -10,7 +10,11 @@ import jax
 import jax.numpy as jnp
 
 from .. import layers as L
-from ...ops.attention import cross_attention_small_head, dot_product_attention
+from ...ops.attention import (_cross_proj_fits, _on_tpu,
+                              cross_attention_small_head,
+                              cross_i2t_from_keys, cross_t2i_from_keys,
+                              dot_product_attention)
+from ...ops.layer_norm import res_ln_fits, residual_layer_norm
 
 Array = jax.Array
 Params = Dict[str, Any]
@@ -136,24 +140,81 @@ def _attn_core(p_out: Params, qq: Array, kk: Array, vv: Array,
 
 
 def _img_side_proj(t2i: Params, keys: Array, image_pe: Array,
-                   i2t: Optional[Params]):
-    """Packed image-side projections reading the (B, L, d) keys stream
-    ONCE (PERF.md 6r): kk/vv for cross_t2i (+ qq for cross_i2t when
-    given), with the batch-1 positional term folded in separately --
-    (keys + pe) @ W == keys @ W + (pe @ W + b), so the big matmul runs on
-    raw keys and the pe/bias corrections stay batch-1."""
-    ws = [t2i["k"]["w"], t2i["v"]["w"]] + ([i2t["q"]["w"]] if i2t else [])
-    W = jnp.concatenate([w.astype(keys.dtype) for w in ws], axis=1)
-    proj = keys @ W                                    # ONE keys read
-    di = t2i["k"]["w"].shape[1]
-    kk = proj[..., :di] + L.linear(t2i["k"], image_pe)
-    vv = proj[..., di:2 * di]
+                   i2t: Optional[Params] = None):
+    """XLA-fallback image-side kk/vv projections for cross_t2i, with the
+    batch-1 positional term folded in separately -- (keys + pe) @ W ==
+    keys @ W + (pe @ W + b), so the big matmuls run on raw keys and the
+    pe/bias corrections stay batch-1. Separate dots beat the 6r packed
+    one-matmul variant on-chip (PERF.md 6s): each dot writes only its own
+    di-wide output with the pe/bias add fused into its epilogue, instead
+    of materializing a (B, L, 3*di) intermediate that the slice+add
+    epilogues re-read. On TPU the projection-fused cross kernels
+    (_t2i_proj/_i2t_proj) replace this path entirely."""
+    kk = keys @ t2i["k"]["w"].astype(keys.dtype) + L.linear(t2i["k"],
+                                                            image_pe)
+    vv = keys @ t2i["v"]["w"].astype(keys.dtype)
     if t2i["v"].get("b") is not None:
         vv = vv + t2i["v"]["b"].astype(vv.dtype)
-    if i2t is None:
-        return kk, vv, None
-    qq = proj[..., 2 * di:] + L.linear(i2t["q"], image_pe)
-    return kk, vv, qq
+    return kk, vv, None
+
+
+def _use_proj_kernels(T: int, L_img: int, di: int, dk: int, heads: int,
+                      itemsize: int) -> bool:
+    """Route the cross attentions through the projection-fused Pallas
+    kernels (attention.cross_t2i_from_keys / cross_i2t_from_keys): the
+    image-side kk/vv/qq never materialize in HBM -- at the AMG shape that
+    deletes four (B, 4096, 128) projection tensors plus their keys-stream
+    reads per two-way layer. Off-TPU / unfit shapes / OVO_NO_PALLAS=1
+    keep the XLA path (_img_side_proj + _attn_core)."""
+    import os
+
+    if os.environ.get("OVO_NO_PALLAS") == "1" or not _on_tpu():
+        return False
+    HT = heads * (T + ((-T) % 8))
+    return _cross_proj_fits(HT, L_img, di, dk, itemsize)
+
+
+def _t2i_proj(t2i: Params, q: Array, keys: Array, image_pe: Array,
+              heads: int) -> Array:
+    """Token -> image cross attention, image-side projections in-kernel.
+    pe_k = image_pe @ Wk + bk is the batch-1 internal-dim correction
+    ((keys + pe) @ W == keys @ W + (pe @ W + b))."""
+    di = t2i["k"]["w"].shape[1]
+    pe_k = L.linear(t2i["k"], image_pe)
+    bv = t2i["v"].get("b")
+    bv = jnp.zeros((di,), jnp.float32) if bv is None else bv
+    o = cross_t2i_from_keys(L.linear(t2i["q"], q), keys, t2i["k"]["w"],
+                            t2i["v"]["w"], pe_k, bv, heads)
+    return L.linear(t2i["out"], o)
+
+
+def _i2t_proj(i2t: Params, q: Array, queries: Array, keys: Array,
+              image_pe: Array, heads: int) -> Array:
+    """Image -> token cross attention, image-side qq in-kernel."""
+    pe_q = L.linear(i2t["q"], image_pe)
+    o = cross_i2t_from_keys(keys, i2t["q"]["w"], pe_q,
+                            L.linear(i2t["k"], q),
+                            L.linear(i2t["v"], queries), heads)
+    return L.linear(i2t["out"], o)
+
+
+def _norm4(p: Params, attn_out: Array, keys: Array, B: int) -> Array:
+    """Image-side residual + LN. At the AMG shape ((B=256, 4096, 256)
+    bf16, 537 MB) this chain is the decoder's single biggest HBM item:
+    XLA runs a residual-add fusion plus a three-read LN (~3.8 GB traced),
+    so it routes through the one-pass fused Pallas kernel
+    (ops/layer_norm.residual_layer_norm); a batch-1 keys residual (first
+    layer) is shared across the grid without materializing the
+    broadcast. Small shapes / CPU / OVO_NO_PALLAS=1 keep the XLA path."""
+    import os
+
+    Lk, C = attn_out.shape[1], attn_out.shape[2]
+    if (os.environ.get("OVO_NO_PALLAS") != "1" and _on_tpu()
+            and res_ln_fits(B, Lk, C, attn_out.dtype.itemsize)):
+        return residual_layer_norm(attn_out, keys, p["scale"], p["bias"])
+    if keys.shape[0] != B:
+        keys = jnp.broadcast_to(keys, (B,) + keys.shape[1:])
+    return L.layer_norm(p, keys + attn_out)
 
 
 def _mlp3(p: Params, x: Array, sigmoid_out: bool = False) -> Array:
@@ -172,42 +233,63 @@ def two_way_transformer(params: Params, tokens: Array, image: Array,
     run once instead of per prompt, and the per-prompt divergence starts
     only at the first image-side residual write -- ~5 ms/keyframe of
     (B, 4096, ·) HBM traffic saved at B=256 (PERF.md)."""
-    B = tokens.shape[0]
+    B, T = tokens.shape[0], tokens.shape[1]
+    dk = image.shape[-1]
+    di = params["layers"][0]["cross_t2i"]["k"]["w"].shape[1]
     q_pe = tokens  # token embeddings double as their positional encoding
     queries, keys = tokens, image
+    use_proj = _use_proj_kernels(T, image.shape[1], di, dk, heads,
+                                 tokens.dtype.itemsize)
     for i, layer in enumerate(params["layers"]):
         if i == 0:
-            attn_out = _attn(layer["self_attn"], queries, queries, queries,
-                             heads)
+            # official skip_first_layer_pe semantics: the first layer's
+            # self-attention output REPLACES queries -- no residual add
+            # (segment_anything transformer.py TwoWayAttentionBlock;
+            # sam2 sam/transformer.py is identical)
+            queries = _attn(layer["self_attn"], queries, queries, queries,
+                            heads)
         else:
             q = queries + q_pe
-            attn_out = _attn(layer["self_attn"], q, q, queries, heads)
-        queries = L.layer_norm(layer["norm1"], queries + attn_out)
+            queries = queries + _attn(layer["self_attn"], q, q, queries,
+                                      heads)
+        queries = L.layer_norm(layer["norm1"], queries)
         q = queries + q_pe
-        # packed image-side projections: the (B, L, d) keys stream is read
-        # once per layer for t2i kk/vv AND the i2t qq (PERF.md 6r)
-        kk_img, vv_img, qq_img = _img_side_proj(
-            layer["cross_t2i"], keys, image_pe, layer["cross_i2t"])
-        attn_out = _attn_core(layer["cross_t2i"]["out"],
-                              L.linear(layer["cross_t2i"]["q"], q),
-                              kk_img, vv_img, heads)
+        if use_proj:
+            attn_out = _t2i_proj(layer["cross_t2i"], q, keys, image_pe,
+                                 heads)
+        else:
+            kk_img, vv_img, _ = _img_side_proj(layer["cross_t2i"], keys,
+                                               image_pe, None)
+            attn_out = _attn_core(layer["cross_t2i"]["out"],
+                                  L.linear(layer["cross_t2i"]["q"], q),
+                                  kk_img, vv_img, heads)
         queries = L.layer_norm(layer["norm2"], queries + attn_out)
         queries = L.layer_norm(
             layer["norm3"], queries + L.mlp(layer["mlp"], queries,
                                             act=jax.nn.relu))
-        attn_out = _attn_core(layer["cross_i2t"]["out"], qq_img,
-                              L.linear(layer["cross_i2t"]["k"], q),
-                              L.linear(layer["cross_i2t"]["v"], queries),
-                              heads)
-        if keys.shape[0] != B:
-            keys = jnp.broadcast_to(keys, (B,) + keys.shape[1:])
-        keys = L.layer_norm(layer["norm4"], keys + attn_out)
+        # q is RECOMPUTED from the post-MLP queries (official two-way
+        # block) -- the pre-norm2 q here was a parity bug fixed in r4
+        q = queries + q_pe
+        if use_proj:
+            attn_out = _i2t_proj(layer["cross_i2t"], q, queries, keys,
+                                 image_pe, heads)
+        else:
+            qq_img = (keys @ layer["cross_i2t"]["q"]["w"].astype(keys.dtype)
+                      + L.linear(layer["cross_i2t"]["q"], image_pe))
+            attn_out = _attn_core(layer["cross_i2t"]["out"], qq_img,
+                                  L.linear(layer["cross_i2t"]["k"], q),
+                                  L.linear(layer["cross_i2t"]["v"], queries),
+                                  heads)
+        keys = _norm4(layer["norm4"], attn_out, keys, B)
     q = queries + q_pe
-    kk_img, vv_img, _ = _img_side_proj(params["final_attn"], keys,
-                                       image_pe, None)
-    attn_out = _attn_core(params["final_attn"]["out"],
-                          L.linear(params["final_attn"]["q"], q),
-                          kk_img, vv_img, heads)
+    if use_proj:
+        attn_out = _t2i_proj(params["final_attn"], q, keys, image_pe, heads)
+    else:
+        kk_img, vv_img, _ = _img_side_proj(params["final_attn"], keys,
+                                           image_pe, None)
+        attn_out = _attn_core(params["final_attn"]["out"],
+                              L.linear(params["final_attn"]["q"], q),
+                              kk_img, vv_img, heads)
     queries = L.layer_norm(params["norm_final"], queries + attn_out)
     return queries, keys
 

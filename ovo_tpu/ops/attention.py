@@ -364,14 +364,29 @@ def select_attention_route(bh: int, lq: int, lk: int, d: int, itemsize: int,
     d_pad = -(-d // 128) * 128 if big else d
     if d_pad % 128 != 0:
         return "xla"
-    bq = 128 if lq % 256 else 256
-    bk = 128 if lk % 256 else 256
-    lk_pad = -(-lk // bk) * bk
+    bq, bk, lk_pad = flash_blocks(lq, lk, d_pad, itemsize)
     # the streaming kernel keeps the FULL (double-buffered) K/V rows in
     # VMEM; at very long sequences that alone can blow the scoped arena
     if flash_vmem_bytes(bq, bk, lk_pad, d_pad, itemsize) > _VMEM_BUDGET:
         return "xla"
     return "flash"
+
+
+def flash_blocks(lq: int, lk: int, d_pad: int, itemsize: int
+                 ) -> tuple:
+    """(block_q, block_k, lk_pad) for the streaming kernel. Larger K
+    blocks amortize the fori_loop carry rescaling: at the Hiera global
+    shape (8, 4096, 128-padded) bk=1024 measured 2.13 ms vs 2.80 ms at
+    bk=256 (scripts/microbench_flash_blocks.py, chained marginal cost) --
+    pick the largest bk that divides lk evenly and fits VMEM, falling
+    back to the pad-minimizing small blocks."""
+    bq = 128 if lq % 256 else 256
+    for bk in (1024, 512, 256, 128):
+        if lk % bk == 0 and flash_vmem_bytes(
+                bq, bk, lk, d_pad, itemsize) <= _VMEM_BUDGET:
+            return bq, bk, lk
+    bk = 128 if lk % 256 else 256
+    return bq, bk, -(-lk // bk) * bk
 
 
 def dot_product_attention(q: Array, k: Array, v: Array,
@@ -431,8 +446,7 @@ def dot_product_attention(q: Array, k: Array, v: Array,
         q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
-    bq = 128 if lq % 256 else 256
-    bk = 128 if lk % 256 else 256
+    bq, bk, _ = flash_blocks(lq, lk, q.shape[-1], q.dtype.itemsize)
     pad_q = (-lq) % bq
     pad_k = (-lk) % bk
     if pad_q:
@@ -594,6 +608,184 @@ def _xla_cross(qq: Array, kk: Array, vv: Array, heads: int) -> Array:
 
     o = xla_attention(heads_of(qq), heads_of(kk), heads_of(vv))
     return o.transpose(0, 2, 1, 3).reshape(B, qq.shape[1], D)
+
+
+def _crossq_proj_kernel(qexp_ref, keys_ref, wk_ref, wv_ref, pek_ref,
+                        bv_ref, o_ref, *, scale: float):
+    """tokens -> image with the image-side projections folded in
+    ALGEBRAICALLY -- kk/vv never exist, even in VMEM:
+
+      s = qexp @ (keys @ Wk + pe)^T = (qexp @ Wk^T) @ keys^T + qexp @ pe^T
+      o = p @ (keys @ Wv + bv)      = (p @ keys) @ Wv + bv   (sum p = 1)
+
+    Replaces two 805 MB convolution_add fusions per two-way layer at the
+    AMG shape (the kk/vv materializations) with one read of the raw keys
+    stream; all three dots contract full 128/256 lanes."""
+    q = qexp_ref[0]                                     # (HT, D) bf16
+    keys = keys_ref[0]                                  # (L, dk) bf16
+    # q' = qexp @ Wk^T: (HT, dk), tiny
+    qk = jax.lax.dot_general(q, wk_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).astype(q.dtype)
+    s = jax.lax.dot_general(qk, keys, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + jax.lax.dot_general(q, pek_ref[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(keys.dtype)
+    pk = jax.lax.dot_general(p, keys, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).astype(keys.dtype)       # (HT, dk)
+    o = jax.lax.dot_general(pk, wv_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (o + bv_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _crossq_proj_call(qexp, keys, wk, wv, pek, bv, *, scale,
+                      interpret=False):
+    B, HT, D = qexp.shape
+    Bk, L, dk = keys.shape
+    kmap = (lambda i: (i, 0, 0)) if Bk > 1 else (lambda i: (0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_crossq_proj_kernel, scale=scale),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, HT, D), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((1, L, dk), kmap),
+                  pl.BlockSpec((dk, D), lambda i: (0, 0)),
+                  pl.BlockSpec((dk, D), lambda i: (0, 0)),
+                  pl.BlockSpec((1, L, D), lambda i: (0, 0, 0)),
+                  pl.BlockSpec((D,), lambda i: (0,))],
+        out_specs=pl.BlockSpec((1, HT, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, HT, D), qexp.dtype),
+        interpret=interpret,
+    )(qexp, keys, wk, wv, pek, bv)
+
+
+def _crossk_proj_kernel(keys_ref, wq_ref, peq_ref, kexp_ref, vexp_ref,
+                        o_ref, *, scale: float, heads: int, t_len: int):
+    """image -> tokens with the image-side qq projection folded in
+    algebraically (qq never materializes):
+
+      s = kexp @ (keys @ Wq + pe)^T = (kexp @ Wq^T) @ keys^T + kexp @ pe^T
+
+    token-side kexp/vexp stay pre-expanded (tiny). Same transposed-scores
+    trick as _crossk_kernel."""
+    keys = keys_ref[0]                                  # (L, dk)
+    kx = kexp_ref[0]                                    # (HT, D)
+    kq = jax.lax.dot_general(kx, wq_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).astype(kx.dtype)         # (HT, dk)
+    s = jax.lax.dot_general(kq, keys, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + jax.lax.dot_general(kx, peq_ref[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    s = s * scale                                       # (HT, L)
+    HT = kx.shape[0]
+    T = HT // heads
+    s3 = s.reshape(heads, T, -1)
+    if t_len < T:
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+        s3 = jnp.where(t_ids < t_len, s3, -1e30)
+    m = jnp.max(s3, axis=1, keepdims=True)
+    p = jnp.exp(s3 - m)
+    p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(vexp_ref.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p.reshape(HT, -1), vexp_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "t_len",
+                                             "interpret"))
+def _crossk_proj_call(keys, wq, peq, kexp, vexp, *, heads, scale, t_len,
+                      interpret=False):
+    Bq, L, dk = keys.shape
+    HT = kexp.shape[1]
+    D = kexp.shape[2]
+    Bk = kexp.shape[0]
+    B = max(Bq, Bk)
+    qmap = (lambda i: (i, 0, 0)) if Bq > 1 else (lambda i: (0, 0, 0))
+    kmap = (lambda i: (i, 0, 0)) if Bk > 1 else (lambda i: (0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_crossk_proj_kernel, scale=scale, heads=heads,
+                          t_len=t_len),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, L, dk), qmap),
+                  pl.BlockSpec((dk, D), lambda i: (0, 0)),
+                  pl.BlockSpec((1, L, D), lambda i: (0, 0, 0)),
+                  pl.BlockSpec((1, HT, D), kmap),
+                  pl.BlockSpec((1, HT, D), kmap)],
+        out_specs=pl.BlockSpec((1, L, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), keys.dtype),
+        interpret=interpret,
+    )(keys, wq, peq, kexp, vexp)
+
+
+def cross_proj_vmem_bytes(HT: int, L: int, D: int, dk: int,
+                          itemsize: int) -> int:
+    """Per-grid-step footprint of the projection-fused cross kernels.
+    The algebraic form never materializes kk/vv/qq -- not even in VMEM:
+    double-buffered keys (L, dk) + pe (L, D) + token/output blocks (the
+    i2t output is the worst case, (L, D)), plus the (HT, L) f32 score
+    tile, its exp, and the cast probability tile."""
+    io = 2 * itemsize * (L * dk + 2 * L * D + 2 * HT * D)
+    inter = HT * L * (4 + 4 + itemsize)
+    return io + inter
+
+
+def _cross_proj_fits(HT: int, L: int, D: int, dk: int,
+                     itemsize: int) -> bool:
+    return (D == 128 and dk % 128 == 0 and HT % 8 == 0 and L % 128 == 0
+            and cross_proj_vmem_bytes(HT, L, D, dk, itemsize)
+            <= _VMEM_BUDGET)
+
+
+def cross_t2i_from_keys(q_proj: Array, keys: Array, wk: Array, wv: Array,
+                        pe_k: Array, bv: Array, heads: int,
+                        interpret: bool = False) -> Array:
+    """Token -> image cross attention reading the RAW (B, L, dk) keys
+    stream, computing kk/vv in-kernel (projection weights wk/wv (dk, D),
+    batch-1 positional correction pe_k (1, L, D) = image_pe @ Wk + bk,
+    value bias bv (D,)). Output is pre-out-proj (B, Lq, D). Caller
+    guarantees TPU + fit (dispatched from decoder.two_way_transformer)."""
+    B = max(q_proj.shape[0], keys.shape[0])
+    Lq, D = q_proj.shape[1], q_proj.shape[2]
+    dh = D // heads
+    pad_t = (-Lq) % 8
+    q_in = jnp.pad(q_proj, ((0, 0), (0, pad_t), (0, 0))) if pad_t \
+        else q_proj
+    qexp = _expand_blockdiag(q_in, heads)
+    if qexp.shape[0] != B:
+        qexp = jnp.broadcast_to(qexp, (B,) + qexp.shape[1:])
+    o = _crossq_proj_call(qexp, keys, wk.astype(keys.dtype),
+                          wv.astype(keys.dtype), pe_k.astype(keys.dtype),
+                          bv, scale=dh ** -0.5, interpret=interpret)
+    return _extract_blockdiag(o, heads, Lq)
+
+
+def cross_i2t_from_keys(keys: Array, wq: Array, pe_q: Array, kk_tok: Array,
+                        vv_tok: Array, heads: int,
+                        interpret: bool = False) -> Array:
+    """Image -> token cross attention reading the RAW keys stream,
+    computing the image-side qq in-kernel (pe_q (1, L, D) = image_pe @ Wq
+    + bq). kk_tok/vv_tok are the pre-projected (B, T, D) token tensors.
+    Output (B, L, D)."""
+    D = kk_tok.shape[-1]
+    dh = D // heads
+    T = kk_tok.shape[1]
+    pad_t = (-T) % 8
+    k_in = jnp.pad(kk_tok, ((0, 0), (0, pad_t), (0, 0))) if pad_t \
+        else kk_tok
+    v_in = jnp.pad(vv_tok, ((0, 0), (0, pad_t), (0, 0))) if pad_t \
+        else vv_tok
+    kexp = _expand_blockdiag(k_in, heads)
+    vexp = _expand_blockdiag(v_in, heads)
+    return _crossk_proj_call(keys, wq.astype(keys.dtype),
+                             pe_q.astype(keys.dtype), kexp, vexp,
+                             heads=heads, scale=dh ** -0.5, t_len=T,
+                             interpret=interpret)
 
 
 def cross_attention_small_head(qq: Array, kk: Array, vv: Array, heads: int,

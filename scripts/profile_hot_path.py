@@ -141,6 +141,11 @@ def main() -> None:
             "kf": 1,
         }
 
+        # OVO_PROF_ACTIVE_ROWS=524288 matches the bench's occupied-bucket
+        # configuration (PERF.md 6p); unset profiles the full-capacity path
+        arows = os.environ.get("OVO_PROF_ACTIVE_ROWS")
+        arows = int(arows) if arows else None
+
         def run():
             box["state"], box["store"], _ = \
                 association.associate_and_insert_keyframe(
@@ -148,7 +153,7 @@ def main() -> None:
                     depth, c2w, K, jnp.asarray(box["kf"], jnp.int32),
                     match_distance_th=0.05, track_th=100,
                     use_depth_filter=True, unbounded_top_k=True,
-                    k_pooling=3, downscale=2)
+                    k_pooling=3, downscale=2, active_rows=arows)
             box["kf"] += 1
             return np.asarray(box["state"].count)
     else:

@@ -255,3 +255,97 @@ def test_pallas_layer_norm_fit_gate():
     assert pln.fits(1048576, 256, 2)
     assert not pln.fits(64, 1024, 2)       # tiny: dispatch overhead wins
     assert not pln.fits(4096, 144, 2)      # hiera stage-1: lanes untiled
+
+
+@pytest.mark.parametrize("b,l,c,b_res", [
+    (8, 512, 256, 8),      # batched residual
+    (8, 512, 256, 1),      # batch-1 residual (decoder first layer)
+    (4, 1024, 128, 1),
+])
+def test_pallas_residual_layer_norm_matches_xla(rng, b, l, c, b_res):
+    """residual_layer_norm (production: decoder norm4) must match
+    layer_norm(broadcast(res) + x) with f32 statistics to output-dtype
+    rounding, including the batch-1 shared-residual path."""
+    from ovo_tpu.ops import layer_norm as pln
+
+    x = jnp.asarray(rng.standard_normal((b, l, c)), jnp.bfloat16)
+    res = jnp.asarray(rng.standard_normal((b_res, l, c)), jnp.bfloat16)
+    scale = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+
+    s = (jnp.broadcast_to(res, x.shape).astype(jnp.float32)
+         + x.astype(jnp.float32))
+    mean = jnp.mean(s, axis=-1, keepdims=True)
+    var = jnp.var(s, axis=-1, keepdims=True)
+    ref = ((s - mean) * jax.lax.rsqrt(var + 1e-5) * scale
+           + bias).astype(jnp.bfloat16)
+
+    got = pln._res_ln_call(x, res, scale, bias, eps=1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=1e-2, atol=3e-2)
+
+
+def test_residual_layer_norm_fit_gate():
+    from ovo_tpu.ops import layer_norm as pln
+
+    assert pln.res_ln_fits(256, 4096, 256, 2)   # decoder norm4 @ AMG
+    assert pln.res_ln_fits(1, 4096, 256, 2) is False  # too small
+    assert not pln.res_ln_fits(256, 4096, 144, 2)     # lanes untiled
+
+
+@pytest.mark.parametrize("B,Bimg,T,L,heads,dint,dk", [
+    (6, 1, 8, 256, 8, 128, 256),   # decoder layer-0: image enters batch-1
+    (6, 6, 8, 256, 8, 128, 256),   # later layers: per-prompt image side
+    (4, 4, 11, 384, 8, 128, 256),  # T not a multiple of 8 -> pad + t_len
+])
+def test_cross_proj_from_keys_matches_composition(rng, B, Bimg, T, L,
+                                                  heads, dint, dk):
+    """The projection-fused cross kernels (kk/vv/qq computed IN-kernel
+    from the raw keys stream) against the composed reference: project on
+    the host, then the per-head XLA attention. Exercises the exact
+    decoder recipe -- pe folded as a batch-1 internal-dim correction,
+    value bias added post-softmax (rows sum to 1)."""
+    from ovo_tpu.ops import attention as att
+
+    keys = jnp.asarray(rng.standard_normal((Bimg, L, dk)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((1, L, dk)), jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((dk, dint)) * 0.1, jnp.float32)
+    bk = jnp.asarray(rng.standard_normal((dint,)) * 0.1, jnp.float32)
+    wv = jnp.asarray(rng.standard_normal((dk, dint)) * 0.1, jnp.float32)
+    bv = jnp.asarray(rng.standard_normal((dint,)) * 0.1, jnp.float32)
+    wq = jnp.asarray(rng.standard_normal((dk, dint)) * 0.1, jnp.float32)
+    bq = jnp.asarray(rng.standard_normal((dint,)) * 0.1, jnp.float32)
+    q_tok = jnp.asarray(rng.standard_normal((B, T, dint)), jnp.float32)
+    k_tok = jnp.asarray(rng.standard_normal((B, T, dint)), jnp.float32)
+    v_tok = jnp.asarray(rng.standard_normal((B, T, dint)), jnp.float32)
+
+    # composed reference: project the image side, then attend
+    kk = (keys + pe) @ wk + bk
+    vv = keys @ wv + bv
+    qq = (keys + pe) @ wq + bq
+
+    # t2i: tokens query the image rows
+    ref = att._xla_cross(q_tok, kk, vv, heads)
+    pe_k = pe @ wk + bk                               # (1, L, dint)
+    got = att.cross_t2i_from_keys(q_tok, keys, wk, wv, pe_k, bv, heads,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # i2t: image rows query the tokens
+    ref = att._xla_cross(qq, k_tok, v_tok, heads)
+    pe_q = pe @ wq + bq
+    got = att.cross_i2t_from_keys(keys, wq, pe_q, k_tok, v_tok, heads,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_cross_proj_fit_gate():
+    from ovo_tpu.ops import attention as att
+
+    assert att._cross_proj_fits(64, 4096, 128, 256, 2)   # decoder @ AMG
+    assert not att._cross_proj_fits(64, 4096, 144, 256, 2)  # D != 128
+    assert not att._cross_proj_fits(64, 4100, 128, 256, 2)  # L untiled
+    assert not att._cross_proj_fits(64, 1 << 21, 128, 256, 2)  # VMEM blow

@@ -74,17 +74,19 @@ def torch_decoder(params, image_embed, image_pe, sparse, hires):
     queries, keys = tokens, src
     for i, layer in enumerate(params["layers"]):
         if i == 0:
-            out = attn(layer["self_attn"], queries, queries, queries)
+            # official skip_first_layer_pe: self-attn REPLACES queries
+            queries = attn(layer["self_attn"], queries, queries, queries)
         else:
             q = queries + q_pe
-            out = attn(layer["self_attn"], q, q, queries)
-        queries = ln(layer["norm1"], queries + out)
+            queries = queries + attn(layer["self_attn"], q, q, queries)
+        queries = ln(layer["norm1"], queries)
         q = queries + q_pe
         k = keys + pe
         out = attn(layer["cross_t2i"], q, k, keys)
         queries = ln(layer["norm2"], queries + out)
         m = lin(layer["mlp"]["proj"], F.relu(lin(layer["mlp"]["fc"], queries)))
         queries = ln(layer["norm3"], queries + m)
+        q = queries + q_pe   # recomputed post-MLP (official two-way block)
         out = attn(layer["cross_i2t"], k, q, queries)
         keys = ln(layer["norm4"], keys + out)
     q = queries + q_pe
