@@ -128,9 +128,15 @@ def main():
                  np.float32)
     c2w = np.eye(4, dtype=np.float32)
     # distinct frames, pre-staged on device (the online pipeline overlaps
-    # its one small H2D per frame with compute)
-    images = [jnp.asarray((rng.random((H, W, 3)) * 255).astype(np.uint8))
-              for _ in range(4)]
+    # its one small H2D per frame with compute); the insert-grid color
+    # buffer is sliced on the HOST during staging (image[::2, ::2] is a
+    # ~0.2 ms numpy copy overlapped with device compute) so the program
+    # skips a ~2.4 ms u8 relayout chain per keyframe (PERF.md 6w)
+    _imgs_np = [(rng.random((H, W, 3)) * 255).astype(np.uint8)
+                for _ in range(4)]
+    images = [jnp.asarray(a) for a in _imgs_np]
+    images_ds = [jnp.asarray(np.ascontiguousarray(a[::2, ::2]))
+                 for a in _imgs_np]
     depth = rng.uniform(1.0, 3.0, (H, W)).astype(np.float32)
 
     state = init_map_state(N_POINTS)
@@ -168,7 +174,8 @@ def main():
         img = images[kf_id % len(images)]
         seg, bmaps, valid = amg.get_masks(img, kf_id)
         state, store, match = assoc_frame(state, store, seg, bmaps, valid,
-                                          img, kf_id)
+                                          images_ds[kf_id % len(images)],
+                                          kf_id)
         descs = embedder.embed_masks(img, match.fused_maps, match.keep)
         store = inst.update_descriptors(
             store, match.ins_ids, descs.astype(jnp.float32),
@@ -191,8 +198,8 @@ def main():
         matches = []
         for j in range(sam_batch):
             state, store, match = assoc_frame(
-                state, store, seg_b[j], bmaps_b[j], valid_b[j], imgs[j],
-                kf_id0 + j)
+                state, store, seg_b[j], bmaps_b[j], valid_b[j],
+                images_ds[(kf_id0 + j) % len(images)], kf_id0 + j)
             matches.append(match)
         descs_b = embedder.embed_masks_batch(
             imgs, jnp.stack([m.fused_maps for m in matches]),
@@ -215,7 +222,8 @@ def main():
         sys.stderr.write("[bench]   amg done\n")
         sys.stderr.flush()
         state, store, match = association.associate_and_insert_keyframe(
-            state, store, seg, bmaps, valid, img, depth_dev, c2w_dev, K_dev,
+            state, store, seg, bmaps, valid, images_ds[i % len(images)],
+            depth_dev, c2w_dev, K_dev,
             jnp.asarray(i, jnp.int32), match_distance_th=0.05, track_th=100,
             use_depth_filter=True, unbounded_top_k=True, k_pooling=3,
             downscale=2)
@@ -273,7 +281,7 @@ def main():
             ("t_obj", lambda: association.associate_and_insert_keyframe(
                 jax.tree_util.tree_map(jnp.copy, state),
                 jax.tree_util.tree_map(jnp.copy, store),
-                seg_w, bmaps_w, valid_w, img, depth_dev,
+                seg_w, bmaps_w, valid_w, images_ds[0], depth_dev,
                 c2w_dev, K_dev, jnp.asarray(99, jnp.int32),
                 match_distance_th=0.05, track_th=100, use_depth_filter=True,
                 unbounded_top_k=True, k_pooling=3, downscale=2)),

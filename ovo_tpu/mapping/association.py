@@ -45,17 +45,17 @@ def _validated_seg_image(seg_map: Array, mask_valid: Array, M: int) -> Array:
         jnp.where(mask_valid, jnp.arange(M, dtype=jnp.int32), -1),
         jnp.asarray([-1], jnp.int32)])
     idx = jnp.where((seg_map >= 0) & (seg_map < M), seg_map, M)
-    out = segment_mxu.table_lookup(idx.reshape(-1), tbl.astype(jnp.float32))
-    return out.reshape(seg_map.shape)
+    out = segment_mxu.table_lookup_int(idx.reshape(-1), tbl)
+    return out.reshape(seg_map.shape).astype(jnp.float32)
 
 
 def _mask_slot_lookup(seg: Array, slot_values: Array, M: int) -> Array:
     """out[i] = slot_values[seg[i]] if seg[i] in [0, M) else -1, via the MXU
     (replaces a 2M-row gather into a 97-row table)."""
-    tbl = jnp.concatenate([slot_values.astype(jnp.float32),
-                           jnp.asarray([-1.0], jnp.float32)])
+    tbl = jnp.concatenate([slot_values.astype(jnp.int32),
+                           jnp.asarray([-1], jnp.int32)])
     idx = jnp.where((seg >= 0) & (seg < M), seg, M)
-    return segment_mxu.table_lookup(idx, tbl).astype(jnp.int32)
+    return segment_mxu.table_lookup_int(idx, tbl)
 
 
 def _vote_matmul(seg_row: Array, vote_col: Array, M: int, Kcap: int,
@@ -342,7 +342,7 @@ def associate_and_insert_keyframe(
     seg_map: Array,
     binary_maps: Array,
     mask_valid: Array,
-    image: Array,          # (h, w, 3) uint8 at depth resolution
+    image: Array,          # (h, w, 3) u8, or (h//ds, w//ds, 3) pre-subsampled
     depth: Array,
     c2w: Array,
     K: Array,
@@ -446,10 +446,17 @@ def associate_and_insert_keyframe(
         # subsamples go through reshape+unit-slice instead of strided
         # slices (traced ~6 ms/keyframe cheaper together)
         depth_ds = geo.subsample2d(depth, downscale)
-        # (an i32 round-trip to dodge the u8 (4,1)-packed relayout was
-        # tried and reverted: XLA sinks the convert below the reshape and
-        # the s32 colors compaction costs more than the u8 relayout saved)
-        image_ds = geo.subsample2d(image, downscale)
+        # colors: callers may pass ``image`` ALREADY subsampled to the
+        # insert grid (h//ds, w//ds, 3) -- the host slices image[::ds,::ds]
+        # during H2D staging for free, killing a ~2.4 ms/keyframe u8
+        # (8,128)(4,1) relayout chain the on-device subsample costs
+        # (PERF.md 6w; an i32 round-trip to dodge the u8 relayout was
+        # tried earlier and reverted -- XLA sinks the convert below the
+        # reshape). Full-res images keep the device-side fallback.
+        if image.shape[0] == h // downscale:
+            image_ds = image
+        else:
+            image_ds = geo.subsample2d(image, downscale)
         ins_mask = jnp.where(
             have_map,
             geo.max_pool_erode((depth > 0) & ~hits, k_pooling,

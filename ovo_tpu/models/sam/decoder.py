@@ -10,10 +10,10 @@ import jax
 import jax.numpy as jnp
 
 from .. import layers as L
-from ...ops.attention import (_cross_proj_fits, _on_tpu,
-                              cross_attention_small_head,
-                              cross_i2t_from_keys, cross_t2i_from_keys,
-                              dot_product_attention)
+from ...ops.attention import (_cross_proj_fits, _cross_proj_ln_fits,
+                              _on_tpu, cross_attention_small_head,
+                              cross_i2t_from_keys, cross_i2t_tail_from_keys,
+                              cross_t2i_from_keys, dot_product_attention)
 from ...ops.layer_norm import res_ln_fits, residual_layer_norm
 
 Array = jax.Array
@@ -198,6 +198,23 @@ def _i2t_proj(i2t: Params, q: Array, queries: Array, keys: Array,
     return L.linear(i2t["out"], o)
 
 
+def _i2t_tail(i2t: Params, norm4: Params, q: Array, queries: Array,
+              keys: Array, image_pe: Array, heads: int) -> Array:
+    """The whole image-side update in ONE kernel: i2t cross attention +
+    out-projection + keys residual + norm4. The attention's keys block is
+    already VMEM-resident, so the tail adds zero HBM traffic -- vs the XLA
+    chain's three materializations of (B, L, ·) tensors (PERF.md 6x).
+    Returns the next layer's keys directly."""
+    pe_q = L.linear(i2t["q"], image_pe)
+    bout = i2t["out"].get("b")
+    dk = keys.shape[-1]
+    bout = jnp.zeros((dk,), jnp.float32) if bout is None else bout
+    return cross_i2t_tail_from_keys(
+        keys, i2t["q"]["w"], pe_q, L.linear(i2t["k"], q),
+        L.linear(i2t["v"], queries), i2t["out"]["w"], bout,
+        norm4["scale"], norm4["bias"], heads)
+
+
 def _norm4(p: Params, attn_out: Array, keys: Array, B: int) -> Array:
     """Image-side residual + LN. At the AMG shape ((B=256, 4096, 256)
     bf16, 537 MB) this chain is the decoder's single biggest HBM item:
@@ -240,6 +257,9 @@ def two_way_transformer(params: Params, tokens: Array, image: Array,
     queries, keys = tokens, image
     use_proj = _use_proj_kernels(T, image.shape[1], di, dk, heads,
                                  tokens.dtype.itemsize)
+    HT = heads * (T + ((-T) % 8))
+    use_tail = use_proj and _cross_proj_ln_fits(
+        HT, image.shape[1], di, dk, tokens.dtype.itemsize)
     for i, layer in enumerate(params["layers"]):
         if i == 0:
             # official skip_first_layer_pe semantics: the first layer's
@@ -270,9 +290,14 @@ def two_way_transformer(params: Params, tokens: Array, image: Array,
         # q is RECOMPUTED from the post-MLP queries (official two-way
         # block) -- the pre-norm2 q here was a parity bug fixed in r4
         q = queries + q_pe
-        if use_proj:
+        if use_proj and use_tail:
+            # i2t + out-proj + residual + norm4 in ONE kernel (PERF.md 6x)
+            keys = _i2t_tail(layer["cross_i2t"], layer["norm4"], q,
+                             queries, keys, image_pe, heads)
+        elif use_proj:
             attn_out = _i2t_proj(layer["cross_i2t"], q, queries, keys,
                                  image_pe, heads)
+            keys = _norm4(layer["norm4"], attn_out, keys, B)
         else:
             qq_img = (keys @ layer["cross_i2t"]["q"]["w"].astype(keys.dtype)
                       + L.linear(layer["cross_i2t"]["q"], image_pe))
@@ -280,7 +305,7 @@ def two_way_transformer(params: Params, tokens: Array, image: Array,
                                   L.linear(layer["cross_i2t"]["k"], q),
                                   L.linear(layer["cross_i2t"]["v"], queries),
                                   heads)
-        keys = _norm4(layer["norm4"], attn_out, keys, B)
+            keys = _norm4(layer["norm4"], attn_out, keys, B)
     q = queries + q_pe
     if use_proj:
         attn_out = _t2i_proj(params["final_attn"], q, keys, image_pe, heads)

@@ -723,6 +723,138 @@ def _crossk_proj_call(keys, wq, peq, kexp, vexp, *, heads, scale, t_len,
     )(keys, wq, peq, kexp, vexp)
 
 
+def _crossk_proj_ln_kernel(keys_ref, wq_ref, peq_ref, kexp_ref, vexp_ref,
+                           wout_ref, bout_ref, lns_ref, lnb_ref, o_ref, *,
+                           scale: float, heads: int, t_len: int, eps: float):
+    """image -> tokens cross attention with the WHOLE image-side tail fused:
+    attention (qq in-kernel as in _crossk_proj_kernel) -> out-projection ->
+    keys residual -> LayerNorm, one keys read, one keys2 write.
+
+    The XLA chain materializes the (B, L, D) attention output, the
+    (B, L, dk) projected tensor, and the (B, L, dk) residual sum in HBM
+    (crossk 1.2 ms + conv_add 1.2 ms + res_ln 2.4 ms traced per layer at
+    the AMG shape); here the keys block is already VMEM-resident as the
+    attention's query source, so the tail costs no extra HBM traffic at
+    all. Intermediate dtypes match the XLA chain exactly: attention output
+    cast to the stream dtype, out-proj accumulated in f32 + bias then cast
+    (= conv_add), residual + LN statistics in f32 (= _res_ln_kernel)."""
+    keys = keys_ref[0]                                  # (BL, dk)
+    kx = kexp_ref[0]                                    # (HT, D)
+    kq = jax.lax.dot_general(kx, wq_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).astype(kx.dtype)         # (HT, dk)
+    s = jax.lax.dot_general(kq, keys, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + jax.lax.dot_general(kx, peq_ref[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    s = s * scale                                       # (HT, BL)
+    HT = kx.shape[0]
+    T = HT // heads
+    s3 = s.reshape(heads, T, -1)
+    if t_len < T:
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+        s3 = jnp.where(t_ids < t_len, s3, -1e30)
+    m = jnp.max(s3, axis=1, keepdims=True)
+    p = jnp.exp(s3 - m)
+    p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(vexp_ref.dtype)
+    attn = jax.lax.dot_general(
+        p.reshape(HT, -1), vexp_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(keys.dtype)  # (BL, D)
+    y = jax.lax.dot_general(attn, wout_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = (y + bout_ref[...].astype(jnp.float32)).astype(keys.dtype)
+    x = y.astype(jnp.float32) + keys.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    cen = x - mean
+    var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+    out = cen * jax.lax.rsqrt(var + eps)
+    out = out * lns_ref[...].astype(jnp.float32) \
+        + lnb_ref[...].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "t_len",
+                                             "eps", "interpret"))
+def _crossk_proj_ln_call(keys, wq, peq, kexp, vexp, wout, bout, lns, lnb, *,
+                         heads, scale, t_len, eps, interpret=False):
+    Bq, L, dk = keys.shape
+    HT, D = kexp.shape[1], kexp.shape[2]
+    Bk = kexp.shape[0]
+    B = max(Bq, Bk)
+    BL = _cross_proj_ln_block(HT, L, D, dk, keys.dtype.itemsize)
+    qmap = (lambda i, j: (i, j, 0)) if Bq > 1 else (lambda i, j: (0, j, 0))
+    kmap = (lambda i, j: (i, 0, 0)) if Bk > 1 else (lambda i, j: (0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_crossk_proj_ln_kernel, scale=scale, heads=heads,
+                          t_len=t_len, eps=eps),
+        grid=(B, L // BL),
+        in_specs=[pl.BlockSpec((1, BL, dk), qmap),
+                  pl.BlockSpec((dk, D), lambda i, j: (0, 0)),
+                  pl.BlockSpec((1, BL, D), lambda i, j: (0, j, 0)),
+                  pl.BlockSpec((1, HT, D), kmap),
+                  pl.BlockSpec((1, HT, D), kmap),
+                  pl.BlockSpec((D, dk), lambda i, j: (0, 0)),
+                  pl.BlockSpec((dk,), lambda i, j: (0,)),
+                  pl.BlockSpec((dk,), lambda i, j: (0,)),
+                  pl.BlockSpec((dk,), lambda i, j: (0,))],
+        out_specs=pl.BlockSpec((1, BL, dk), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, dk), keys.dtype),
+        interpret=interpret,
+    )(keys, wq, peq, kexp, vexp, wout, bout, lns, lnb)
+
+
+def cross_proj_ln_vmem_bytes(HT: int, BL: int, D: int, dk: int,
+                             itemsize: int) -> int:
+    """Per-grid-step footprint of the i2t tail-fused kernel: double-buffered
+    keys/out blocks + pe block + token blocks, score/exp tiles, the f32
+    attention/out-proj/residual intermediates, and the small weights."""
+    io = 2 * itemsize * (2 * BL * dk + BL * D + 2 * HT * D)
+    inter = HT * BL * (4 + 4 + itemsize) + 4 * BL * D + 2 * 4 * BL * dk
+    weights = itemsize * (2 * dk * D) + 4 * 3 * dk
+    return io + inter + weights
+
+
+def _cross_proj_ln_block(HT: int, L: int, D: int, dk: int,
+                         itemsize: int) -> int | None:
+    for bl in (2048, 1024, 512, 256, 128):
+        if L % bl == 0 and cross_proj_ln_vmem_bytes(
+                HT, bl, D, dk, itemsize) <= _VMEM_BUDGET:
+            return bl
+    return None
+
+
+def _cross_proj_ln_fits(HT: int, L: int, D: int, dk: int,
+                        itemsize: int) -> bool:
+    return (D == 128 and dk % 128 == 0 and HT % 8 == 0
+            and _cross_proj_ln_block(HT, L, D, dk, itemsize) is not None)
+
+
+def cross_i2t_tail_from_keys(keys: Array, wq: Array, pe_q: Array,
+                             kk_tok: Array, vv_tok: Array, wout: Array,
+                             bout: Array, ln_scale: Array, ln_bias: Array,
+                             heads: int, eps: float = 1e-5,
+                             interpret: bool = False) -> Array:
+    """Image -> token cross attention PLUS its image-side tail (out-proj,
+    keys residual, LayerNorm) in one kernel: returns the next layer's keys
+    (B, L, dk) directly. keys may be batch-1 (first two-way layer); the
+    output is per-prompt. Caller gates with _cross_proj_ln_fits."""
+    D = kk_tok.shape[-1]
+    dh = D // heads
+    T = kk_tok.shape[1]
+    pad_t = (-T) % 8
+    k_in = jnp.pad(kk_tok, ((0, 0), (0, pad_t), (0, 0))) if pad_t \
+        else kk_tok
+    v_in = jnp.pad(vv_tok, ((0, 0), (0, pad_t), (0, 0))) if pad_t \
+        else vv_tok
+    kexp = _expand_blockdiag(k_in, heads)
+    vexp = _expand_blockdiag(v_in, heads)
+    return _crossk_proj_ln_call(
+        keys, wq.astype(keys.dtype), pe_q.astype(keys.dtype), kexp, vexp,
+        wout.astype(keys.dtype), bout, ln_scale, ln_bias,
+        heads=heads, scale=dh ** -0.5, t_len=T, eps=eps,
+        interpret=interpret)
+
+
 def cross_proj_vmem_bytes(HT: int, L: int, D: int, dk: int,
                           itemsize: int) -> int:
     """Per-grid-step footprint of the projection-fused cross kernels.

@@ -92,7 +92,7 @@ def masks_to_seg_map(masks: Array, stability: Array, valid: Array) -> Array:
     masks sorted by stability descending, earlier mask wins overlapping
     pixels). Output values index the ORIGINAL mask axis; -1 = unassigned.
     """
-    from .segment_mxu import table_lookup
+    from .segment_mxu import table_lookup_int
 
     N = masks.shape[0]
     neg = jnp.asarray(-jnp.inf, stability.dtype)
@@ -105,8 +105,8 @@ def masks_to_seg_map(masks: Array, stability: Array, valid: Array) -> Array:
     # runs on the MXU (a TPU gather here profiled at ~6 ms vs <1 ms)
     inv = jnp.argsort(-s, stable=True)  # inv[rank] = original index
     tbl = jnp.concatenate([inv.astype(jnp.int32), jnp.asarray([-1], jnp.int32)])
-    idx = table_lookup(best.reshape(-1), tbl.astype(jnp.float32))
-    return idx.astype(jnp.int32).reshape(best.shape)
+    idx = table_lookup_int(best.reshape(-1), tbl)
+    return idx.reshape(best.shape)
 
 
 def compact_masks(keep: Array, masks: Array, scores: Array,

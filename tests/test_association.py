@@ -358,3 +358,49 @@ def test_active_rows_bucket_is_bit_exact(rng, fused):
     np.testing.assert_array_equal(np.asarray(st_full.centroid_sum),
                                   np.asarray(st_b.centroid_sum)) \
         if hasattr(st_full, "centroid_sum") else None
+
+
+def test_fused_insert_accepts_presubsampled_colors(rng):
+    """Passing ``image`` already sliced to the insert grid (host-side
+    image[::ds, ::ds], what bench.py/production H2D staging does to skip
+    the on-device u8 relayout chain, PERF.md 6w) is bit-identical to
+    passing the full-resolution image."""
+    import jax.numpy as jnp
+
+    from ovo_tpu.mapping import association
+    from ovo_tpu.mapping.instances import init_instance_store
+    from ovo_tpu.mapping.map_state import init_map_state, map_insert_frame
+
+    H, W, N, M, Kcap, ds = 48, 64, 1 << 14, 8, 32, 2
+    K = jnp.asarray(np.array([[50.0, 0, 31.5], [0, 50.0, 23.5], [0, 0, 1]],
+                             np.float32))
+    c2w = jnp.asarray(np.eye(4, dtype=np.float32))
+    vv, uu = np.meshgrid(np.arange(H, dtype=np.float32),
+                         np.arange(W, dtype=np.float32), indexing="ij")
+    depth = jnp.asarray(2.0 + 0.4 * np.sin(uu / 19.0) + 0.3 * vv / H)
+    img_np = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    img = jnp.asarray(img_np)
+    img_ds = jnp.asarray(np.ascontiguousarray(img_np[::ds, ::ds]))
+
+    seg = jnp.asarray(rng.integers(-1, M, (H, W)).astype(np.int32))
+    bmaps = jnp.asarray(rng.random((M, H, W)) > 0.7)
+    valid = jnp.ones(M, bool)
+    kw = dict(match_distance_th=0.05, track_th=20, use_depth_filter=True,
+              unbounded_top_k=True, k_pooling=3, downscale=ds,
+              insert_match_th=0.03)
+
+    def run(image):
+        st = map_insert_frame(init_map_state(N), img, depth, c2w, K,
+                              k_pooling=3, downscale=ds, match_th=0.03)
+        return association.associate_and_insert_keyframe(
+            st, init_instance_store(Kcap, 16), seg, bmaps, valid, image,
+            depth, c2w, K, jnp.asarray(3, jnp.int32), **kw)
+
+    s1, st1, m1 = run(img)
+    s2, st2, m2 = run(img_ds)
+    n = int(s1.count)
+    assert n == int(s2.count)
+    np.testing.assert_array_equal(np.asarray(s1.colors[:n]),
+                                  np.asarray(s2.colors[:n]))
+    np.testing.assert_array_equal(np.asarray(s1.obj_ids), np.asarray(s2.obj_ids))
+    np.testing.assert_array_equal(np.asarray(m1.ins_ids), np.asarray(m2.ins_ids))

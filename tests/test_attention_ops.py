@@ -349,3 +349,50 @@ def test_cross_proj_fit_gate():
     assert not att._cross_proj_fits(64, 4096, 144, 256, 2)  # D != 128
     assert not att._cross_proj_fits(64, 4100, 128, 256, 2)  # L untiled
     assert not att._cross_proj_fits(64, 1 << 21, 128, 256, 2)  # VMEM blow
+
+
+@pytest.mark.parametrize("B,Bimg,T,L,heads,dint,dk", [
+    (6, 1, 8, 256, 8, 128, 256),   # decoder layer-0: image enters batch-1
+    (6, 6, 8, 256, 8, 128, 256),   # later layers: per-prompt image side
+    (4, 4, 11, 384, 8, 128, 256),  # T not a multiple of 8 -> pad + t_len
+])
+def test_cross_i2t_tail_matches_composition(rng, B, Bimg, T, L, heads,
+                                            dint, dk):
+    """The tail-fused i2t kernel (attention + out-proj + keys residual +
+    LayerNorm in one pass, PERF.md 6x) against the composed reference:
+    cross_i2t_from_keys -> linear -> residual -> LN."""
+    from ovo_tpu.ops import attention as att
+
+    keys = jnp.asarray(rng.standard_normal((Bimg, L, dk)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((1, L, dk)), jnp.float32)
+    wq = jnp.asarray(rng.standard_normal((dk, dint)) * 0.1, jnp.float32)
+    bq = jnp.asarray(rng.standard_normal((dint,)) * 0.1, jnp.float32)
+    k_tok = jnp.asarray(rng.standard_normal((B, T, dint)), jnp.float32)
+    v_tok = jnp.asarray(rng.standard_normal((B, T, dint)), jnp.float32)
+    wout = jnp.asarray(rng.standard_normal((dint, dk)) * 0.1, jnp.float32)
+    bout = jnp.asarray(rng.standard_normal((dk,)) * 0.1, jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.standard_normal((dk,)), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal((dk,)), jnp.float32)
+
+    qq = (keys + pe) @ wq + bq
+    attn = att._xla_cross(qq, k_tok, v_tok, heads)
+    y = attn @ wout + bout + keys                        # residual
+    mu = y.mean(-1, keepdims=True)
+    var = ((y - mu) ** 2).mean(-1, keepdims=True)
+    ref = (y - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb
+
+    pe_q = pe @ wq + bq
+    got = att.cross_i2t_tail_from_keys(keys, wq, pe_q, k_tok, v_tok, wout,
+                                       bout, lns, lnb, heads,
+                                       interpret=True)
+    assert got.shape == (B, L, dk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cross_proj_ln_fit_gate():
+    from ovo_tpu.ops import attention as att
+
+    assert att._cross_proj_ln_fits(64, 4096, 128, 256, 2)   # decoder @ AMG
+    assert not att._cross_proj_ln_fits(64, 4096, 144, 256, 2)  # D != 128
+    assert not att._cross_proj_ln_fits(64, 4100, 128, 256, 2)  # L untiled

@@ -48,3 +48,25 @@ def test_segment_or_matches_scatter_max(rng):
         if t < S:
             ref[t] |= np.asarray(rows)[i]
     np.testing.assert_array_equal(got, ref)
+
+
+def test_table_lookup_int_matches_gather(rng):
+    from ovo_tpu.ops.segment_mxu import table_lookup_int
+    T, N = 1026, 300_001  # instance-id-scale table, non-chunk-multiple N
+    table = jnp.asarray(rng.integers(-1, 32768, T), jnp.int32)
+    idx = jnp.asarray(rng.integers(0, T, N), jnp.int32)
+    got = np.asarray(table_lookup_int(idx, table))
+    ref = np.asarray(table)[np.asarray(idx)]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_table_lookup_int_2d_oob_and_extremes(rng):
+    from ovo_tpu.ops.segment_mxu import table_lookup_int
+    table = jnp.asarray([[-32767, 32767, -1], [0, 1, 256],
+                         [255, -256, 1024]], jnp.int32)
+    idx = jnp.asarray([2, 0, 3, 1], jnp.int32)  # 3 == out-of-range -> 0s
+    got = np.asarray(table_lookup_int(idx, table))
+    np.testing.assert_array_equal(got[0], np.asarray(table)[2])
+    np.testing.assert_array_equal(got[1], np.asarray(table)[0])
+    np.testing.assert_array_equal(got[2], np.zeros(3, np.int32))
+    np.testing.assert_array_equal(got[3], np.asarray(table)[1])
