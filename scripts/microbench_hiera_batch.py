@@ -53,11 +53,22 @@ def main() -> None:
     # invokes hiera once per keyframe; fusing several forwards into one
     # jit changes XLA's layout/scheduling decisions and is not the
     # configuration we'd ship)
-    @jax.jit
-    def step(params, x):
+    def step_fn(params, x):
         return hiera_forward(params, cfg, x)[-1]
 
+    # B=2 needs xla_tpu_scoped_vmem_limit_kib=20480: with the batch axis
+    # reshaped into the window axis the winfused custom calls keep their
+    # exact B=1 block shapes (wb=104 at (64,64,72)), but XLA's in-context
+    # scoped-vmem accounting rejects them at the doubled instance counts
+    # (18.05M > 16M default limit) even though each call compiles clean
+    # standalone -- the arena is shared with co-scheduled fusions whose
+    # tiles grow with B. Raised for BOTH legs so the comparison is flat.
+    opts = {"xla_tpu_scoped_vmem_limit_kib": 20480}
+
     for name, bsz in (("B=1 x4", 1), ("B=2 x2", 2)):
+        step = (jax.jit(step_fn)
+                .lower(params, imgs[:bsz])
+                .compile(compiler_options=opts))
         chunks = [imgs[i:i + bsz] for i in range(0, 4, bsz)]
         outs = [step(params, c) for c in chunks]
         np.asarray(outs[-1][0, 0, 0, 0])     # compile + warm
