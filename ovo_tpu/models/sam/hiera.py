@@ -190,11 +190,12 @@ def hiera_forward(params: Params, cfg: HieraConfig, imgs: Array
                   ) -> List[Array]:
     """imgs (B, H, W, 3) normalized -> stage-end feature maps
     [(B, H_s, W_s, C_s)], highest resolution first."""
-    x = jax.lax.conv_general_dilated(
-        imgs, params["patch"]["w"].astype(imgs.dtype), (4, 4),
-        [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(imgs.dtype)
-    x = x + params["patch"]["b"].astype(x.dtype)
+    from ...ops.patchify import patch_embed_s4
+
+    # 7x7/s4 patch embed as space-to-depth + one matmul: lax.conv pays
+    # ~2.8 ms/keyframe of XLA relayout copies at this shape (PERF.md 6z)
+    x = patch_embed_s4(imgs, params["patch"]["w"].astype(imgs.dtype),
+                       params["patch"]["b"])
     B, H, W, C = x.shape
 
     from ...ops.resize import resize_channels_last

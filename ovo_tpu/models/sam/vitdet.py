@@ -188,7 +188,11 @@ def _conv(p: Params, x: Array, stride: int, padding) -> Array:
 def vitdet_forward(params: Params, cfg: ViTDetConfig, imgs: Array) -> Array:
     """imgs (B, S, S, 3) normalized -> (B, S/16, S/16, out_chans) SAM
     embedding (patch conv + pos embed + blocks + LayerNorm2d neck)."""
-    x = _conv(params["patch"], imgs, cfg.patch, "VALID")
+    from ...ops.patchify import patch_embed_nonoverlap
+
+    # stride==kernel patch conv is a pure reshape + matmul (PERF.md 6z)
+    x = patch_embed_nonoverlap(imgs, params["patch"]["w"].astype(imgs.dtype),
+                               params["patch"].get("b"))
     B, H, W, C = x.shape
 
     pos = params["pos_embed"]
