@@ -360,7 +360,12 @@ def main():
         "unit": "keyframes/s",
         "vs_baseline": round(fps / REFERENCE_EST_KF_PER_SEC, 2),
         # the denominator is a DERIVED estimate, not a measurement: the
-        # reference publishes no kf/s (BASELINE.md) -- carry the band
+        # reference publishes no kf/s (BASELINE.md). The +/-25% band on the
+        # 1.0 kf/s estimate makes the speedup ratio itself uncertain --
+        # carry the resulting ratio band with the number so it cannot be
+        # read as a measurement.
+        "vs_baseline_band": [round(fps / (REFERENCE_EST_KF_PER_SEC * 1.25), 2),
+                             round(fps / (REFERENCE_EST_KF_PER_SEC * 0.75), 2)],
         "baseline_note": "vs derived 1.0 kf/s estimate, +/-25% band",
     }))
 
