@@ -81,6 +81,47 @@ def init_instance_store(n_instances: int, clip_dim: int, n_slots: int = 16,
     )
 
 
+def grow_instance_store(store: InstanceStore, new_capacity: int
+                        ) -> InstanceStore:
+    """Re-pad every per-instance buffer to a larger capacity bucket.
+
+    The reference mints instances unbounded (a Python dict,
+    /root/reference/ovo/entities/ovo.py:271-276); the TPU store is a fixed
+    id space, so callers grow it in power-of-2 buckets BEFORE a keyframe
+    could overflow it (SemanticMapper._associate) -- each bucket
+    re-specializes the jitted association program once, exactly like
+    map_state.grow_map_state does for the point axis. Ids are stable:
+    growth only appends empty rows."""
+    if new_capacity <= store.capacity:
+        return store
+    pad = new_capacity - store.capacity
+    T, D = store.n_slots, store.clip_feature.shape[1]
+    Ts = store.slot_valid.shape[1]
+
+    def z(shape, dtype, fill=0):
+        return jnp.full(shape, fill, dtype) if fill else jnp.zeros(shape,
+                                                                   dtype)
+
+    return InstanceStore(
+        active=jnp.concatenate([store.active, z((pad,), jnp.bool_)]),
+        clip_feature=jnp.concatenate(
+            [store.clip_feature, z((pad, D), jnp.float32)]),
+        has_clip=jnp.concatenate([store.has_clip, z((pad,), jnp.bool_)]),
+        desc_sum=jnp.concatenate([store.desc_sum, z((pad, D), jnp.float32)]),
+        desc_cnt=jnp.concatenate([store.desc_cnt, z((pad,), jnp.int32)]),
+        n_points=jnp.concatenate([store.n_points, z((pad,), jnp.int32)]),
+        top_area=jnp.concatenate(
+            [store.top_area, z((pad, T), jnp.int32, -1)]),
+        top_kf=jnp.concatenate([store.top_kf, z((pad, T), jnp.int32, -1)]),
+        slot_desc=jnp.concatenate(
+            [store.slot_desc, z((pad, store.slot_desc.shape[1], D),
+                                jnp.float32)]),
+        slot_valid=jnp.concatenate(
+            [store.slot_valid, z((pad, Ts), jnp.bool_)]),
+        next_id=store.next_id,
+    )
+
+
 def _rows(store: InstanceStore, ins_ids: Array, valid: Array) -> Tuple[Array, Array, Array]:
     """(scatter_rows, gather_rows, effective_valid)."""
     v = valid & (ins_ids >= 0) & (ins_ids < store.capacity)

@@ -296,8 +296,22 @@ class OVOSemMap:
                 continue
 
             t_lc = 0.0
-            if (frame_id % self.map_every == 0
-                    or self.config["slam"]["slam_module"].startswith("orbslam")):
+            slam_module = self.config["slam"]["slam_module"]
+            do_map = (frame_id % self.map_every == 0
+                      or slam_module.startswith("orbslam"))
+            do_seg = frame_id % self.segment_every == 0
+            # When the vanilla backbone maps on the segment cadence, the
+            # insert fuses INTO the association program (one dispatch,
+            # shared projection/gathers; bit-exact with the two-step flow,
+            # PERF.md 6n / tests/test_association.py) -- the reference's
+            # single detect_and_track_objects call site
+            # (ovomapping.py:164-188)
+            fuse_this = (do_map and do_seg and slam_module == "vanilla"
+                         and getattr(self.slam_backbone,
+                                     "supports_fused_insert", False)
+                         and self.ovo.sam_batch == 1
+                         and not self.ovo.point_shard)
+            if do_map and not fuse_this:
                 self.slam_backbone.map(frame_data, c2w)
                 if self.slam_backbone.map_updated:
                     t0 = time.time()
@@ -311,7 +325,7 @@ class OVOSemMap:
                     print(f"Sem LC update took {t_lc};")
 
             t_sem = 0.0
-            if frame_id % self.segment_every == 0:
+            if do_seg:
                 if self.profile_trace and self._trace_state == 0:
                     import jax
 
@@ -328,11 +342,25 @@ class OVOSemMap:
                 else:
                     ratio = ()
                 scene_data = (frame_id, image, frame_data[2], ratio)
-                map_state = self.slam_backbone.get_map()
-                new_state = self.ovo.detect_and_track_objects(
-                    scene_data, map_state, c2w)
-                if new_state is not None:
-                    self.slam_backbone.update_pcd_obj_ids(new_state)
+                if fuse_this:
+                    # growth/bookkeeping first (it may swap the state
+                    # buffer), THEN take the map handle
+                    insert = self.slam_backbone.fused_insert_args(frame_data)
+                    map_state = self.slam_backbone.get_map()
+                    new_state = self.ovo.detect_and_track_objects(
+                        scene_data, map_state, c2w, insert=insert)
+                    if new_state is None:
+                        # no masks segmented: the frame must still map
+                        self.slam_backbone.map(frame_data, c2w)
+                    else:
+                        self.slam_backbone.update_pcd_obj_ids(new_state)
+                        self.slam_backbone.post_insert()
+                else:
+                    map_state = self.slam_backbone.get_map()
+                    new_state = self.ovo.detect_and_track_objects(
+                        scene_data, map_state, c2w)
+                    if new_state is not None:
+                        self.slam_backbone.update_pcd_obj_ids(new_state)
                 self.ovo.compute_semantic_info()
                 self.logger.log_memory_usage(frame_id)
                 t_sem = time.time() - t0
@@ -369,6 +397,13 @@ class OVOSemMap:
         self.logger.log_fps(fps)
         self.logger.log_spf(spf)
         self.logger.log_max_memory_usage()
+        dropped = getattr(self.ovo, "n_dropped_masks_total", lambda: 0)()
+        if dropped:
+            print(f"WARNING: {dropped} masks were dropped at instance "
+                  f"capacity over the whole scene -- the instance map is "
+                  f"incomplete (enable capacity.grow_instances)")
+            self.logger.log_ovo_stats({"frame_id": -1,
+                                       "n_dropped_masks": dropped})
         self.logger.write_stats()
         self.logger.print_final_stats()
         self.save_representation()

@@ -79,6 +79,10 @@ class SemanticMapper:
 
         caps = config.get("capacity", {})
         self.n_instances = int(caps.get("n_instances", 1024))
+        # the reference mints unbounded (ovo.py:271-276): grow the store in
+        # power-of-2 buckets BEFORE a keyframe could overflow it (off only
+        # for tests that pin a fixed capacity)
+        self.grow_instances = bool(caps.get("grow_instances", True))
         n_slots_cfg = int(caps.get("top_k_slots", 16))
         # unbounded top-k (reference default k_top_views=10000): no gating
         self.unbounded_top_k = (self.n_top_views <= 0
@@ -100,6 +104,10 @@ class SemanticMapper:
 
         self.keyframes_queue: deque = deque()
         self.kf_id = 0
+        # lazy device-side accumulator of masks lost to instance-capacity
+        # overflow (zero whenever grow_instances is on); fetched only at
+        # scene end / on demand so the hot path never syncs on it
+        self._dropped_dev = jnp.zeros((), jnp.int32)
         self.frame_ids: List[int] = []    # kf_id -> dataset frame id
         self._time_cache: List[float] = []
         # per-(kf, instance) descriptor record for deleted-keyframe hygiene
@@ -154,12 +162,23 @@ class SemanticMapper:
     # ------------------------------------------------------------------
 
     def detect_and_track_objects(self, frame_data, map_state: MapState,
-                                 c2w) -> Optional[MapState]:
-        """frame_data: (frame_id, image, depth, rgb_depth_ratio)."""
+                                 c2w, insert: Optional[Dict[str, Any]] = None
+                                 ) -> Optional[MapState]:
+        """frame_data: (frame_id, image, depth, rgb_depth_ratio).
+
+        ``insert``: when set, the keyframe's vanilla map insert FUSES into
+        the association program (one dispatch, shared projection/gathers --
+        bit-exact with the two-step map() -> associate flow,
+        tests/test_association.py; PERF.md 6n). Keys: colors (insert-grid
+        or full-res u8 image), insert_match_th, k_pooling, downscale,
+        active_rows. The pipeline requests this whenever the vanilla
+        backbone maps on the segment cadence (the reference's single
+        detect_and_track_objects call site, ovomapping.py:164-188)."""
         frame_id, image, depth, rgb_depth_ratio = frame_data
 
         if (self.sam_batch > 1
                 and hasattr(self.mask_source, "get_masks_batch")):
+            assert insert is None, "fused insert requires sam_batch == 1"
             self._pending.append((frame_id, image, depth, rgb_depth_ratio,
                                   np.asarray(c2w)))
             if len(self._pending) < self.sam_batch:
@@ -175,7 +194,7 @@ class SemanticMapper:
         t_sam = time.time() - t0
         return self._associate(frame_id, image, depth, rgb_depth_ratio, c2w,
                                seg_map, binary_maps, mask_valid, map_state,
-                               t_sam)
+                               t_sam, insert=insert)
 
     def flush_segmentation(self, map_state: MapState) -> Optional[MapState]:
         """Segment all buffered keyframes in one batched SAM program, then
@@ -203,11 +222,45 @@ class SemanticMapper:
 
     def _associate(self, frame_id, image, depth, rgb_depth_ratio, c2w,
                    seg_map, binary_maps, mask_valid, map_state,
-                   t_sam) -> Optional[MapState]:
+                   t_sam, insert: Optional[Dict[str, Any]] = None
+                   ) -> Optional[MapState]:
         last_id = int(self.store.next_id)
+        # Preemptive growth: a keyframe can mint at most M instances, so
+        # growing whenever next_id + M could cross capacity guarantees the
+        # association program NEVER drops a mask to capacity overflow
+        # (reference minting is unbounded, ovo.py:271-276).
+        if (self.grow_instances
+                and last_id + binary_maps.shape[0] > self.store.capacity):
+            new_cap = max(self.store.capacity * 2,
+                          1 << (last_id + binary_maps.shape[0] - 1)
+                          .bit_length())
+            print(f"[semantic] growing instance store "
+                  f"{self.store.capacity} -> {new_cap} "
+                  f"(next_id={last_id})")
+            self.store = inst.grow_instance_store(self.store, new_cap)
         t0 = time.time()
         ratio = tuple(rgb_depth_ratio) if len(rgb_depth_ratio) else None
-        if self.point_shard:
+        if insert is not None:
+            from .association import associate_and_insert_keyframe
+
+            assert not self.point_shard, \
+                "fused insert is single-chip (point_shard runs two-step)"
+            map_state, self.store, match = associate_and_insert_keyframe(
+                map_state, self.store, seg_map, binary_maps, mask_valid,
+                jnp.asarray(insert["colors"]),
+                jnp.asarray(depth, jnp.float32),
+                jnp.asarray(c2w, jnp.float32),
+                self.cam_intrinsics, jnp.asarray(self.kf_id, jnp.int32),
+                match_distance_th=self.match_distance_th,
+                track_th=self.track_th,
+                use_depth_filter=self.use_depth_filter,
+                unbounded_top_k=self.unbounded_top_k,
+                rgb_depth_ratio=ratio,
+                insert_match_th=insert["insert_match_th"],
+                k_pooling=insert["k_pooling"],
+                downscale=insert["downscale"],
+                active_rows=insert.get("active_rows"))
+        elif self.point_shard:
             from ..parallel.shard import sharded_associate_keyframe
             map_state, self.store, match = sharded_associate_keyframe(
                 self.mesh, map_state, self.store, seg_map, binary_maps,
@@ -229,6 +282,7 @@ class SemanticMapper:
                 use_depth_filter=self.use_depth_filter,
                 unbounded_top_k=self.unbounded_top_k, rgb_depth_ratio=ratio)
 
+        self._dropped_dev = self._dropped_dev + match.n_dropped_masks
         self.keyframes_queue.append(
             dict(ins_ids=match.ins_ids, keep=match.keep,
                  fused_maps=match.fused_maps, image=image, kf_id=self.kf_id))
@@ -247,14 +301,25 @@ class SemanticMapper:
         if self.log and self.logger is not None:
             match.n_matched.block_until_ready()
             t_obj = time.time() - t0
-            self.logger.log_ovo_stats({
+            stats = {
                 "frame_id": frame_id,
                 "n_obj": [int(self.store.next_id) - last_id],
                 "n_matches": int(match.n_matched),
                 "t_sam": round(t_sam, 2),
                 "t_obj": round(t_obj, 3),
-            }, print_output=True)
+            }
+            dropped = int(match.n_dropped_masks)
+            if dropped:
+                stats["n_dropped_masks"] = dropped
+                print(f"WARNING: {dropped} masks dropped at instance "
+                      f"capacity {self.store.capacity} in frame {frame_id}")
+            self.logger.log_ovo_stats(stats, print_output=True)
         return map_state
+
+    def n_dropped_masks_total(self) -> int:
+        """Total masks ever lost to instance-capacity overflow (always 0
+        when ``grow_instances`` is on). Forces one device fetch."""
+        return int(np.asarray(self._dropped_dev))
 
     # ------------------------------------------------------------------
     # Deferred CLIP extraction (the keyframe pipeline, ovo.py:326-364)
