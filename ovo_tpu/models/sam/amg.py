@@ -150,6 +150,112 @@ def min_area_cells(min_area: float, valid_cells: int,
     return min_area * valid_cells / float(out_hw[0] * out_hw[1])
 
 
+def remove_small_regions(mask: np.ndarray, area_thresh: float, mode: str
+                         ) -> Tuple[np.ndarray, bool]:
+    """Connected-component small-region removal / hole filling on one bool
+    mask, matching segment_anything's cv2-based ``remove_small_regions``
+    (8-connectivity) as consumed by the reference SAM1 AMG
+    (/root/reference/ovo/utils/segment_utils.py:286). scipy.ndimage stands
+    in for cv2.connectedComponentsWithStats (same labeling semantics; cv2
+    is not in-image).
+
+    mode="holes": fill background components smaller than area_thresh.
+    mode="islands": drop foreground components smaller than area_thresh,
+    keeping the largest component if ALL are small (a whole mask is never
+    dropped). Returns (mask, changed)."""
+    from scipy import ndimage
+
+    assert mode in ("holes", "islands")
+    correct_holes = mode == "holes"
+    working = np.logical_xor(correct_holes, mask)
+    eight = np.ones((3, 3), bool)
+    regions, n_labels = ndimage.label(working, structure=eight)
+    if n_labels == 0:
+        return mask, False
+    sizes = np.bincount(regions.ravel(), minlength=n_labels + 1)[1:]
+    small = np.nonzero(sizes < area_thresh)[0] + 1
+    if small.size == 0:
+        return mask, False
+    if correct_holes:
+        fill = np.concatenate([[0], small])
+    else:
+        fill = np.setdiff1d(np.arange(1, n_labels + 1), small)
+        if fill.size == 0:  # keep the largest region
+            fill = np.asarray([int(np.argmax(sizes)) + 1])
+    return np.isin(regions, fill), True
+
+
+def _np_greedy_box_nms(boxes: np.ndarray, scores: np.ndarray,
+                       iou_thresh: float) -> np.ndarray:
+    """Host-side torchvision-semantics greedy NMS (stable score order)."""
+    n = boxes.shape[0]
+    order = np.argsort(-scores, kind="stable")
+    keep = np.ones(n, bool)
+    area = (np.maximum(boxes[:, 2] - boxes[:, 0], 0)
+            * np.maximum(boxes[:, 3] - boxes[:, 1], 0))
+    for oi in range(n):
+        i = order[oi]
+        if not keep[i]:
+            continue
+        for oj in range(oi + 1, n):
+            j = order[oj]
+            if not keep[j]:
+                continue
+            x0 = max(boxes[i, 0], boxes[j, 0])
+            y0 = max(boxes[i, 1], boxes[j, 1])
+            x1 = min(boxes[i, 2], boxes[j, 2])
+            y1 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(x1 - x0, 0) * max(y1 - y0, 0)
+            union = area[i] + area[j] - inter
+            if union > 0 and inter / union > iou_thresh:
+                keep[j] = False
+    return keep
+
+
+def postprocess_small_regions_host(bmaps: np.ndarray, valid: np.ndarray,
+                                   min_area: float, nms_thresh: float
+                                   ) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """The reference SAM1 AMG's ``postprocess_small_regions`` (official
+    segment_anything amg.py semantics, enabled by min_mask_region_area=100
+    at /root/reference/ovo/utils/segment_utils.py:286): per mask, fill small
+    holes then drop small islands at OUTPUT resolution, then de-duplicate
+    with a box NMS that prefers unchanged masks (changed masks score 0).
+
+    Host-side by design -- the reference runs this on CPU via cv2 too, and
+    it is off on the SAM2 default path (min_mask_region_area=0 there).
+
+    Returns (fixed bmaps, new valid, any_changed)."""
+    bmaps = np.array(bmaps, dtype=bool, copy=True)
+    valid = np.array(valid, dtype=bool, copy=True)
+    idx = np.nonzero(valid)[0]
+    if idx.size == 0:
+        return bmaps, valid, False
+    scores = np.ones(idx.size, np.float32)
+    any_changed = False
+    for k, i in enumerate(idx):
+        m, ch_h = remove_small_regions(bmaps[i], min_area, "holes")
+        m, ch_i = remove_small_regions(m, min_area, "islands")
+        changed = ch_h or ch_i
+        if changed:
+            bmaps[i] = m
+            scores[k] = 0.0   # prefer unchanged duplicates in the NMS
+            any_changed = True
+    if not any_changed:
+        return bmaps, valid, False
+    boxes = np.zeros((idx.size, 4), np.float32)
+    for k, i in enumerate(idx):
+        rows = np.any(bmaps[i], axis=1)
+        cols = np.any(bmaps[i], axis=0)
+        if rows.any():
+            y = np.nonzero(rows)[0]
+            x = np.nonzero(cols)[0]
+            boxes[k] = [x[0], y[0], x[-1], y[-1]]
+    keep = _np_greedy_box_nms(boxes, scores, nms_thresh)
+    valid[idx[~keep]] = False
+    bmaps &= valid[:, None, None]
+    return bmaps, valid, True
+
+
 def stability_score(logits: Array, mask_threshold: float, offset: float
                     ) -> Array:
     """IoU between the mask thresholded at +/- offset (SAM amg)."""
@@ -199,6 +305,12 @@ def greedy_box_nms(boxes: Array, scores: Array, valid: Array,
     return jnp.zeros((N,), bool).at[order].set(keep)
 
 
+@jax.jit
+def _reraster_program(bmaps: Array, stab: Array, valid: Array) -> Array:
+    """Re-rasterize the seg map after the host small-region post-pass."""
+    return masks_to_seg_map(bmaps, stab, valid)
+
+
 class AutomaticMaskSource:
     """Mask-source interface (get_masks) backed by the SAM2-class model."""
 
@@ -209,7 +321,8 @@ class AutomaticMaskSource:
                  box_nms_thresh: float = 0.7, nms_iou_th: float = 0.8,
                  nms_score_th: float = 0.7, nms_inner_th: float = 0.5,
                  max_masks: int = 96, candidates: int = 256,
-                 min_area: int = 0, gate_prompts: int = 128):
+                 min_area: int = 0, gate_prompts: int = 128,
+                 min_area_mode: str = "connected"):
         self.model = model
         self.points = jnp.asarray(grid_points(points_per_side))
         self.pred_iou_thresh = pred_iou_thresh
@@ -223,6 +336,14 @@ class AutomaticMaskSource:
         self.max_masks = max_masks
         self.candidates = candidates
         self.min_area = min_area
+        # "connected" (default) = the official postprocess_small_regions:
+        # connected-component hole filling + island removal at output res,
+        # host-side (the reference runs it on CPU via cv2 too). "fast" =
+        # the in-program whole-mask area gate in rescaled logit units --
+        # cheaper but drops small valid masks and never fills holes
+        # (PARITY.md section 7).
+        assert min_area_mode in ("connected", "fast")
+        self.min_area_mode = min_area_mode
         # predicted-IoU prompt gate before the decoder's per-prompt upscale
         # tail (decode_masks top_prompts); 0/None disables. Kept >= the
         # downstream candidate cap / 3 so the NMS stages still see a full
@@ -238,8 +359,26 @@ class AutomaticMaskSource:
             box_nms_thresh=self.box_nms_thresh,
             nms_iou_th=self.nms_iou_th, nms_score_th=self.nms_score_th,
             nms_inner_th=self.nms_inner_th, max_masks=self.max_masks,
-            candidates=self.candidates, min_area=self.min_area,
+            candidates=self.candidates,
+            # connected mode runs the official post-pass AFTER the program
+            # (no in-program whole-mask gate: the official AMG never drops
+            # whole masks for min_mask_region_area)
+            min_area=(0 if self.min_area_mode == "connected"
+                      else self.min_area),
             gate_prompts=self.gate_prompts, out_hw=out_hw)
+
+    def _small_regions(self, seg, bmaps, valid, stab):
+        """Apply the official small-region post-pass (host) and re-rasterize
+        the seg map from the fixed masks. No-op unless masks changed."""
+        bm, va, changed = postprocess_small_regions_host(
+            np.asarray(bmaps), np.asarray(valid), self.min_area,
+            self.box_nms_thresh)
+        if not changed:
+            return seg, bmaps, valid
+        bmaps = jnp.asarray(bm)
+        valid = jnp.asarray(va)
+        seg = _reraster_program(bmaps, stab, valid)
+        return seg, bmaps, valid
 
     def get_masks(self, image, frame_id: int = None):
         # NOTE: jnp.asarray keeps device arrays on device (no host round
@@ -249,6 +388,8 @@ class AutomaticMaskSource:
         seg, bmaps, valid, stab = _amg_program(
             self.model.params, self.model.cfg, img, self.points,
             **self._amg_kwargs((h, w)))
+        if self.min_area and self.min_area_mode == "connected":
+            seg, bmaps, valid = self._small_regions(seg, bmaps, valid, stab)
         return seg, bmaps, valid
 
     def get_masks_batch(self, images, frame_ids=None):
@@ -264,6 +405,12 @@ class AutomaticMaskSource:
         seg, bmaps, valid, stab = jax.vmap(
             fn, in_axes=(None, None, 0, None))(
             self.model.params, self.model.cfg, imgs, self.points)
+        if self.min_area and self.min_area_mode == "connected":
+            outs = [self._small_regions(seg[b], bmaps[b], valid[b], stab[b])
+                    for b in range(seg.shape[0])]
+            seg = jnp.stack([o[0] for o in outs])
+            bmaps = jnp.stack([o[1] for o in outs])
+            valid = jnp.stack([o[2] for o in outs])
         return seg, bmaps, valid
 
 
@@ -414,4 +561,5 @@ def build_sam_mask_source(sam_cfg: Dict[str, Any], max_masks: int = 96
         nms_inner_th=sam_cfg.get("nms_inner_th", 0.5),
         max_masks=max_masks,
         min_area=sam_cfg.get("min_mask_region_area", 100 if sam1 else 0),
+        min_area_mode=sam_cfg.get("min_area_mode", "connected"),
         gate_prompts=sam_cfg.get("gate_prompts", 128))
