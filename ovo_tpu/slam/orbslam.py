@@ -147,6 +147,10 @@ class NativeTracker:
 class WrapperORBSLAM(VanillaMapper):
     """Vanilla mapper geometry + native-tracker poses (orbslam.py:17-120)."""
 
+    # keyframe-gated mapping + LC rebuilds don't fit the pipeline's fused
+    # associate+insert fast path (which assumes every-map-cadence inserts)
+    supports_fused_insert = False
+
     def __init__(self, config: Dict[str, Any], cam_intrinsics,
                  world_ref: np.ndarray | None = None):
         super().__init__(config, cam_intrinsics)

@@ -42,6 +42,15 @@ class VanillaMapper:
         self.estimated_c2ws: Dict[int, np.ndarray] = {}
         self.kfs: Dict[int, Any] = {}
         self.map_updated = False
+        # fused associate+insert support (PERF.md 6n wired online): a TIGHT
+        # host-side upper bound on the device count feeds the association's
+        # active_rows bucket without a per-frame sync -- after each insert
+        # the count is fetched ASYNC and harvested one frame later, with
+        # un-harvested inserts bounded by the per-frame pixel headroom
+        self.supports_fused_insert = True
+        self._n_inserts = 0
+        self._count_req = None        # (device scalar, n_inserts at request)
+        self._count_known = (0, 0)    # (count, n_inserts it covers)
 
     # -- tracking -------------------------------------------------------
     def track_camera(self, frame_data: List[Any]) -> None:
@@ -54,25 +63,80 @@ class VanillaMapper:
         return self.estimated_c2ws.get(frame_id)
 
     # -- mapping --------------------------------------------------------
+    def _headroom(self, depth) -> int:
+        return (depth.shape[0] * depth.shape[1]
+                // max(self.downscale, 1) ** 2)
+
+    def _pre_insert_grow(self, depth) -> None:
+        """Grow BEFORE the insert could overflow. Uses a host-side upper
+        bound on count (sum of per-frame maxima) -- reading the real count
+        would cost a device round-trip every mapping step."""
+        if not self.bucketed:
+            return
+        self._count_ub += self._headroom(depth)
+        cap = self.state.capacity
+        while cap < self.max_capacity and self._count_ub > cap:
+            cap = min(cap * 2, self.max_capacity)
+        if cap != self.state.capacity:
+            self.state = grow_map_state(self.state, cap)
+
+    def post_insert(self) -> None:
+        """Bookkeeping after an insert landed in self.state (map() or the
+        pipeline's fused associate+insert): kick off an async fetch of the
+        device count so count_upper_bound() tightens one frame later."""
+        self._n_inserts += 1
+        c = self.state.count
+        try:
+            c.copy_to_host_async()
+        except Exception:
+            pass
+        self._count_req = (c, self._n_inserts)
+
+    def count_upper_bound(self) -> int:
+        """A host-known bound with count_upper_bound() >= device count,
+        tight to one frame's pixels: the last harvested async count plus
+        worst-case headroom for each insert since."""
+        if self._count_req is not None:
+            arr, n = self._count_req
+            # ready by now in steady state (requested >= 1 frame ago)
+            self._count_known = (int(np.asarray(arr)), n)
+            self._count_req = None
+        c, n = self._count_known
+        return c + (self._n_inserts - n) * self._last_headroom
+
+    _last_headroom = 0
+
+    def fused_insert_args(self, frame_data: List[Any]) -> Dict[str, Any]:
+        """Pre-insert growth + the insert-side kwargs for the pipeline's
+        fused associate+insert call (association.associate_and_insert_
+        keyframe). The color buffer is sliced to the insert grid on the
+        HOST (a ~0.2 ms numpy copy that overlaps device compute, PERF.md
+        6w); active_rows is the power-of-2 bucket covering
+        count_upper_bound() (caller contract active_rows >= count holds
+        because the bound is >= the device count by construction)."""
+        image, depth = frame_data[1], frame_data[2]
+        self._last_headroom = self._headroom(depth)
+        self._pre_insert_grow(depth)
+        ds = self.downscale
+        colors = (np.ascontiguousarray(np.asarray(image)[::ds, ::ds])
+                  if ds > 1 else np.asarray(image))
+        ub = max(self.count_upper_bound(), 1)
+        ar = 1 << (ub - 1).bit_length()
+        if ar >= self.state.capacity:
+            ar = None
+        return dict(colors=colors, insert_match_th=self.match_distance_th,
+                    k_pooling=self.k_pooling, downscale=ds, active_rows=ar)
+
     def map(self, frame_data: List[Any], c2w) -> None:
         image, depth = frame_data[1], frame_data[2]
-        if self.bucketed:
-            # grow BEFORE the insert could overflow. Uses a host-side upper
-            # bound on count (sum of per-frame maxima) -- reading the real
-            # count would cost a device round-trip every mapping step
-            headroom = (depth.shape[0] * depth.shape[1]
-                        // max(self.downscale, 1) ** 2)
-            self._count_ub += headroom
-            cap = self.state.capacity
-            while cap < self.max_capacity and self._count_ub > cap:
-                cap = min(cap * 2, self.max_capacity)
-            if cap != self.state.capacity:
-                self.state = grow_map_state(self.state, cap)
+        self._last_headroom = self._headroom(depth)
+        self._pre_insert_grow(depth)
         self.state = map_insert_frame(
             self.state, jnp.asarray(image), jnp.asarray(depth, jnp.float32),
             jnp.asarray(c2w, jnp.float32), self.cam_intrinsics,
             k_pooling=self.k_pooling, downscale=self.downscale,
             match_th=self.match_distance_th)
+        self.post_insert()
 
     # -- accessors ------------------------------------------------------
     def get_map(self) -> MapState:
@@ -108,6 +172,9 @@ class VanillaMapper:
             cap = min(cap * 2, max(self.max_capacity, n))
         self.state = from_map_dict(d, capacity=cap)
         self._count_ub = n
+        self._n_inserts = 0
+        self._count_req = None
+        self._count_known = (n, 0)
 
     def get_cam_dict(self) -> Dict[int, np.ndarray]:
         return {k: np.asarray(v) for k, v in self.estimated_c2ws.items()}

@@ -531,3 +531,42 @@ def test_noisy_fixture_miou_matches_oracle(noisy_pipeline_run):
     assert 0.2 < device_miou < 0.985, device_miou
     assert abs(device_miou - oracle_miou) < 0.03, \
         (device_miou, oracle_miou)
+
+
+def test_pipeline_fused_insert_matches_two_step(tmp_path):
+    """The online pipeline's fused associate+insert (one program when the
+    vanilla backbone maps on the segment cadence, PERF.md 6n wired online)
+    produces EXACTLY the same map and instance state as the two-step
+    map() -> associate flow (the program-level equality is pinned in
+    tests/test_association.py; this pins the PIPELINE wiring: cadence
+    gating, growth bookkeeping, active_rows bound, color pre-subsample)."""
+    embeds = class_embeddings(16)
+    text_embeds = {c: embeds[i] for i, c in enumerate(CLASSES)}
+
+    def run(fused: bool, out):
+        ds = SyntheticWallDataset(n_frames=12)
+        embedder = RecordedEmbedder(16, mask_label_fn, embeds, text_embeds)
+        mask_source = CallableMaskSource(synthetic_mask_fn, max_masks=16)
+        sem_map = OVOSemMap(make_config(), out, mask_source=mask_source,
+                            embedder=embedder, dataset=ds)
+        if not fused:
+            sem_map.slam_backbone.supports_fused_insert = False
+        sem_map.run()
+        return sem_map
+
+    a = run(True, tmp_path / "fused")
+    b = run(False, tmp_path / "twostep")
+    sa, sb = a.slam_backbone.get_map(), b.slam_backbone.get_map()
+    na, nb = int(sa.count), int(sb.count)
+    assert na == nb
+    np.testing.assert_array_equal(np.asarray(sa.points[:na]),
+                                  np.asarray(sb.points[:nb]))
+    np.testing.assert_array_equal(np.asarray(sa.obj_ids[:na]),
+                                  np.asarray(sb.obj_ids[:nb]))
+    np.testing.assert_array_equal(np.asarray(sa.colors[:na]),
+                                  np.asarray(sb.colors[:nb]))
+    np.testing.assert_array_equal(np.asarray(a.ovo.store.active),
+                                  np.asarray(b.ovo.store.active))
+    np.testing.assert_allclose(np.asarray(a.ovo.store.clip_feature),
+                               np.asarray(b.ovo.store.clip_feature),
+                               rtol=0, atol=0)
