@@ -490,13 +490,26 @@ def associate_and_insert_keyframe(
     uv_n, z_n = geo.project_points(new_pts, K, w2c)
     in_plane_n = ((uv_n[:, 0] >= 0) & (uv_n[:, 0] < w) &
                   (uv_n[:, 1] >= 0) & (uv_n[:, 1] < h))
-    ucn = jnp.clip(uv_n[:, 0], 0, w - 1)
-    vcn = jnp.clip(uv_n[:, 1], 0, h - 1)
-    g_n = packed[vcn * w + ucn]
-    d_m_n = g_n[:, 1]
     if rgb_depth_ratio is None:
-        seg_pt_n = g_n[:, 2].astype(jnp.int32)
+        # The new points unproject from THIS camera's strided pixel grid,
+        # so round(project(unproject(u, v, z))) == (u, v): the projected
+        # pixel differs from the grid pixel by the f32 inverse/transform
+        # round-trip error (~1e-3 px at metric scene scale) and
+        # project_points rounds to nearest, leaving a >= 0.49 px guard
+        # band. The per-point pixel values therefore read as a strided
+        # SUBSAMPLE of the pixel tables -- deleting a 204k-row gather
+        # (traced 1.05 ms/keyframe). z_n stays the PROJECTED z so the
+        # |z - d| threshold compares bit-identically to the two-step flow.
+        ds = downscale if downscale > 1 else 1
+        d_m_n = (geo.subsample2d(depth_m, ds) if ds > 1
+                 else depth_m).reshape(-1)
+        seg_pt_n = (geo.subsample2d(seg_img, ds) if ds > 1
+                    else seg_img).reshape(-1).astype(jnp.int32)
     else:
+        ucn = jnp.clip(uv_n[:, 0], 0, w - 1)
+        vcn = jnp.clip(uv_n[:, 1], 0, h - 1)
+        g_n = packed[vcn * w + ucn]
+        d_m_n = g_n[:, 1]
         r_h, r_w, crop_edge = rgb_depth_ratio
         u2n = ((ucn + crop_edge).astype(jnp.float32) * r_w).astype(jnp.int32)
         v2n = ((vcn + crop_edge).astype(jnp.float32) * r_h).astype(jnp.int32)

@@ -169,24 +169,37 @@ def _scatter_append(state: MapState, points: Array, colors: Array,
     i = jnp.arange(Wn)
     is_new = (i >= offset) & (i < offset + n_new)
 
-    def window_write(buf, vals, dtype):
-        comp = jnp.roll(vals[perm], offset, axis=0).astype(dtype)
+    # Rolling the INDEX vector instead of each gathered buffer makes
+    # roll(vals[perm]) == vals[roll(perm)] -- one cheap 1-D roll. The
+    # per-buffer gathers then collapse to ONE (Wn, 4) f32 gather
+    # [x, y, z, obj] (TPU gather cost is per ROW, cheapest at exactly 4
+    # f32 columns -- geometry.packed_pixel_table microbench) plus the u8
+    # color rows; the old separate 1-D obj gather alone traced 1.35
+    # ms/keyframe. obj ids are exact in f32 below 2^24 (instance
+    # capacities sit orders of magnitude under that).
+    perm_r = jnp.roll(perm, offset, axis=0)
+    pack = jnp.concatenate(
+        [points.astype(jnp.float32),
+         obj_vals.astype(jnp.float32)[:, None]], axis=1)
+    g = pack[perm_r]
+    comp_points = g[:, :3]
+    comp_obj = g[:, 3].astype(jnp.int32)
+    comp_colors = colors[perm_r].astype(jnp.uint8)
+
+    def window_write(buf, comp):
         old = jax.lax.dynamic_slice_in_dim(buf, start, Wn, axis=0)
         sel = is_new if old.ndim == 1 else is_new[:, None]
         return jax.lax.dynamic_update_slice_in_dim(
-            buf, jnp.where(sel, comp, old), start, axis=0)
+            buf, jnp.where(sel, comp.astype(buf.dtype), old), start, axis=0)
 
     rank_ids = (state.next_point_id + (i - offset)).astype(jnp.int32)
-    new_points = window_write(state.points, points, jnp.float32)
-    new_colors = window_write(state.colors, colors, jnp.uint8)
-    # ids/objs don't need the gather: after compaction row offset+r IS rank r
+    new_points = window_write(state.points, comp_points)
+    new_colors = window_write(state.colors, comp_colors)
+    # ids don't need the gather: after compaction row offset+r IS rank r
     old_pids = jax.lax.dynamic_slice_in_dim(state.point_ids, start, Wn, axis=0)
     new_pids = jax.lax.dynamic_update_slice_in_dim(
         state.point_ids, jnp.where(is_new, rank_ids, old_pids), start, axis=0)
-    obj_comp = jnp.roll(obj_vals[perm], offset, axis=0).astype(jnp.int32)
-    old_objs = jax.lax.dynamic_slice_in_dim(state.obj_ids, start, Wn, axis=0)
-    new_objs = jax.lax.dynamic_update_slice_in_dim(
-        state.obj_ids, jnp.where(is_new, obj_comp, old_objs), start, axis=0)
+    new_objs = window_write(state.obj_ids, comp_obj)
 
     new_count = jnp.minimum(state.count + n_new, N)
     return MapState(new_points, new_pids, new_objs, new_colors,

@@ -116,6 +116,21 @@ def multi_head_attention(p: Params, x: Array, n_heads: int,
     src = x if kv is None else kv
     if "qkv" in p:
         qkv = linear(p["qkv"], x)
+        if (rope is not None and kv is None and not causal
+                and attn_impl in ("auto", "fused")):
+            # packed-qkv RoPE kernel: head split + rotation + padding all
+            # happen on VMEM tiles inside the attention kernel, and the
+            # output lands token-major for the out projection -- no
+            # (B, H, L, hd) tensor ever materializes in HBM
+            from ..ops.attention import (rope_packed_attention,
+                                         use_rope_packed)
+
+            if use_rope_packed(B * n_heads, L, hd, n_heads,
+                               qkv.dtype.itemsize):
+                cos, sin = rope
+                o = rope_packed_attention(qkv, cos[:L], sin[:L],
+                                          heads=n_heads)
+                return linear(p["out"], o)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if kv is not None:
             kkv = linear(p["qkv"], kv)

@@ -68,9 +68,13 @@ def winfused_window_block(lq: int, lk: int, d: int, itemsize: int,
 
 
 def fused_vmem_bytes(bq: int, lk: int, d: int, itemsize: int) -> int:
-    """Per-grid-step footprint of the single-KV-block kernel."""
-    io = 2 * itemsize * d * (2 * bq + 2 * lk)
-    inter = bq * lk * (4 + 4 + itemsize)
+    """Per-grid-step footprint of the single-KV-block kernel. Lane (minor)
+    dims round up to the physical 128-lane tile: operands pad ``d``,
+    the f32 score/exp intermediates pad ``lk``."""
+    d_ln = -(-d // 128) * 128
+    lk_ln = -(-lk // 128) * 128
+    io = 2 * itemsize * d_ln * (2 * bq + 2 * lk)
+    inter = bq * lk_ln * (4 + 4 + itemsize)
     return io + inter
 
 
@@ -244,6 +248,118 @@ def fused_attention(q: Array, k: Array, v: Array, *,
     return out.reshape(b, h, lq, d)
 
 
+def _rope_packed_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
+                        scale: float, kv_len: int, hd: int):
+    """One (batch, head-group) instance of packed-qkv RoPE attention: the
+    q/k/v head blocks stream straight out of the (B, L, 3D) qkv-projection
+    tensor, RoPE rotates q/k on the VMEM tiles, and the output block lands
+    in (B, L, D) token-major layout ready for the out-projection. Nothing
+    between the qkv matmul and the out matmul touches HBM in a non-native
+    layout -- this deletes the head-split transposes, the rope
+    materialization, and the per-tensor pads that cost ~4.5 ms/keyframe
+    around the PE tower's attention (ROOFLINE r5 trace).
+
+    Blocks are 128 lanes wide (the Mosaic block-shape granule), so one
+    grid step processes 128/hd heads side by side, statically unrolled."""
+    q = q_ref[0]                                       # (L8, 128) bf16
+    k = k_ref[0]
+    c = cos_ref[...].astype(q.dtype)                   # (L8, hd/2)
+    s = sin_ref[...].astype(q.dtype)
+    hd2 = hd // 2
+    hpb = q.shape[-1] // hd
+
+    def rot(x):
+        x1, x2 = x[:, :hd2], x[:, hd2:]
+        # same op order/dtype as layers.apply_rope (bf16 mults)
+        return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+
+    outs = []
+    for t in range(hpb):
+        qt = rot(q[:, t * hd:(t + 1) * hd])
+        kt = rot(k[:, t * hd:(t + 1) * hd])
+        sc = jax.lax.dot_general(qt, kt, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        lk = kt.shape[0]
+        if kv_len < lk:
+            ids = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+            sc = jnp.where(ids < kv_len, sc, -1e30)
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v_ref[0][:, t * hd:(t + 1) * hd], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype))
+    o_ref[0] = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def rope_packed_vmem_bytes(l8: int, hd: int, itemsize: int) -> int:
+    """Per-grid-step footprint of the packed-RoPE kernel: 128-lane blocks
+    (= 128/hd heads per step), lane dims round to the physical 128."""
+    def lane(d):
+        return -(-d // 128) * 128
+
+    hpb = max(128 // hd, 1)
+    io = 2 * itemsize * l8 * 128 * 4             # q/k/v/out double-buffered
+    tabs = 2 * 2 * 4 * l8 * lane(hd // 2)        # cos/sin f32
+    rot = 2 * l8 * lane(hd) * itemsize * hpb     # rotated q/k tiles
+    inter = hpb * l8 * lane(l8) * (4 + 4 + itemsize)  # scores, exp, p cast
+    return io + tabs + rot + inter
+
+
+def use_rope_packed(bh: int, l: int, hd: int, heads: int,
+                    itemsize: int) -> bool:
+    """Dispatch predicate for rope_packed_attention (mirrors the 'fused'
+    route's shape envelope; OVO_NO_PALLAS and CPU fall back)."""
+    import os
+
+    if os.environ.get("OVO_NO_PALLAS") == "1" or not _on_tpu():
+        return False
+    if hd > 128 or 128 % max(hd, 1) or hd % 2 or heads % (128 // hd):
+        return False
+    l8 = -(-l // 8) * 8
+    return (256 <= l <= 1024 and bh <= 512
+            and rope_packed_vmem_bytes(l8, hd, itemsize) <= _VMEM_BUDGET)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def rope_packed_attention(qkv: Array, cos: Array, sin: Array, *, heads: int,
+                          scale: Optional[float] = None,
+                          interpret: bool = False) -> Array:
+    """(B, L, 3D) packed qkv projection + (L, hd/2) RoPE tables ->
+    (B, L, D) attention output in token-major layout (see
+    _rope_packed_kernel). Pads L to a sublane multiple internally; padded
+    keys are masked, padded query rows are sliced off."""
+    B, L, three_d = qkv.shape
+    D = three_d // 3
+    hd = D // heads
+    hpb = 128 // hd                      # heads per 128-lane block
+    assert hpb >= 1 and heads % hpb == 0 and D % 128 == 0
+    scale = scale if scale is not None else hd ** -0.5
+    pad = (-L) % 8
+    if pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+        cos = jnp.pad(cos, ((0, pad), (0, 0)))
+        sin = jnp.pad(sin, ((0, pad), (0, 0)))
+    l8 = L + pad
+    nb = D // 128                        # 128-lane blocks per q/k/v section
+    out = pl.pallas_call(
+        functools.partial(_rope_packed_kernel, scale=scale,
+                          kv_len=L if pad else l8, hd=hd),
+        grid=(B, heads // hpb),
+        in_specs=[
+            pl.BlockSpec((1, l8, 128), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((1, l8, 128), lambda b, j: (b, 0, nb + j)),
+            pl.BlockSpec((1, l8, 128), lambda b, j: (b, 0, 2 * nb + j)),
+            pl.BlockSpec((l8, cos.shape[-1]), lambda b, j: (0, 0)),
+            pl.BlockSpec((l8, sin.shape[-1]), lambda b, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, l8, 128), lambda b, j: (b, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((B, l8, D), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, cos, sin)
+    return out[:, :L, :] if pad else out
+
+
 def _winfused_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                      kv_len: int):
     """Batched whole-KV attention over a BLOCK of tiny instances (Hiera
@@ -350,8 +466,8 @@ def select_attention_route(bh: int, lq: int, lk: int, d: int, itemsize: int,
     if (impl in ("auto", "fused") and not causal
             and lq == lk and 256 <= lk <= 1024 and bh <= 512
             and d <= 128 and d % 8 == 0
-            and fused_vmem_bytes(-(-lq // 8) * 8, -(-lk // 128) * 128,
-                                 128, itemsize) <= _VMEM_BUDGET):
+            and fused_vmem_bytes(-(-lq // 8) * 8, -(-lk // 8) * 8,
+                                 d, itemsize) <= _VMEM_BUDGET):
         return "fused"
     if (impl in ("auto", "winfused") and not causal
             and lq <= 512 and lk <= 512 and d % 8 == 0 and d <= 128
@@ -416,15 +532,23 @@ def dot_product_attention(q: Array, k: Array, v: Array,
 
     scale = scale if scale is not None else d ** -0.5
     if route == "fused":
+        # pad lq/lk to sublane multiples (8) ONLY -- like winfused, the
+        # kernel takes the head dim (64/72/...) and a non-%128 key length
+        # natively (Mosaic masks the lane remainder). The old %128 pads on
+        # lk AND d doubled q/k/v HBM traffic and ran the MXU on zeros:
+        # 2.0 ms of pad materialization + ~40% kernel time at the PE
+        # tower's (7, 16, 577, 64) (ROOFLINE r5 trace).
         lq_pad = (-lq) % 8
-        lk_pad = (-lk) % 128
-        d_pad = (-d) % 128
-        qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, d_pad)))
-        kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad), (0, d_pad)))
-        vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad), (0, d_pad)))
+        lk_pad = (-lk) % 8
+        qp = (jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, 0)))
+              if lq_pad else q)
+        kp = (jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad), (0, 0)))
+              if lk_pad else k)
+        vp = (jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad), (0, 0)))
+              if lk_pad else v)
         o = fused_attention(qp, kp, vp, scale=scale,
                             kv_len=lk if lk_pad else None)
-        return o[..., :lq, :d]
+        return o[..., :lq, :] if lq_pad else o
 
     if route == "winfused":
         lq_pad = (-lq) % 8

@@ -396,3 +396,53 @@ def test_cross_proj_ln_fit_gate():
     assert att._cross_proj_ln_fits(64, 4096, 128, 256, 2)   # decoder @ AMG
     assert not att._cross_proj_ln_fits(64, 4096, 144, 256, 2)  # D != 128
     assert not att._cross_proj_ln_fits(64, 4100, 128, 256, 2)  # L untiled
+
+
+def test_rope_packed_attention_matches_composed():
+    """rope_packed_attention (packed qkv + in-kernel RoPE + token-major
+    out) vs the composed reference path: split -> heads -> apply_rope ->
+    attention -> merge. Odd L exercises the internal sublane pad + kv
+    mask."""
+    import jax
+    import jax.numpy as jnp
+    from ovo_tpu.models.layers import apply_rope, rope2d_freqs
+    from ovo_tpu.ops.attention import rope_packed_attention, xla_attention
+
+    rng = np.random.default_rng(7)
+    B, H, hd = 2, 4, 32
+    D = H * hd
+    for L, grid in ((145, 12), (64, 8)):
+        cos, sin = rope2d_freqs(grid, grid, hd, n_prefix=1)
+        cos, sin = cos[:L], sin[:L]
+        qkv = jnp.asarray(rng.standard_normal((B, L, 3 * D)), jnp.float32)
+
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = heads(q), heads(k), heads(v)
+        qh = apply_rope(qh, cos, sin)
+        kh = apply_rope(kh, cos, sin)
+        ref = xla_attention(qh, kh, vh)
+        ref = ref.transpose(0, 2, 1, 3).reshape(B, L, D)
+
+        got = rope_packed_attention(qkv, cos, sin, heads=H, interpret=True)
+        assert got.shape == (B, L, D)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_rope_packed_dispatch_gate():
+    import os
+    from unittest import mock
+    from ovo_tpu.ops import attention as att
+
+    with mock.patch.object(att, "_on_tpu", return_value=True):
+        assert att.use_rope_packed(112, 577, 64, 16, 2)  # PE-L 7-crop batch
+        assert not att.use_rope_packed(1024, 577, 64, 16, 2)  # bh too big
+        assert not att.use_rope_packed(112, 140, 64, 16, 2)  # L too small
+        with mock.patch.dict(os.environ, {"OVO_NO_PALLAS": "1"}):
+            assert not att.use_rope_packed(112, 577, 64, 16, 2)
+    with mock.patch.object(att, "_on_tpu", return_value=False):
+        assert not att.use_rope_packed(112, 577, 64, 16, 2)
