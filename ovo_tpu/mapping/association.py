@@ -94,7 +94,8 @@ def _vote_matmul(seg_row: Array, vote_col: Array, M: int, Kcap: int,
 
 
 def mask_decisions(votes_full: Array, mask_valid: Array, next_id: Array,
-                   track_th: int, M: int, Kcap: int
+                   track_th: int, M: int, Kcap: int,
+                   mint_cap: int | None = None
                    ) -> Tuple[Array, Array, Array, Array]:
     """The per-mask decision math shared by the single-chip and the
     point-sharded association paths (ovo.py:255-280 semantics): majority
@@ -102,7 +103,10 @@ def mask_decisions(votes_full: Array, mask_valid: Array, next_id: Array,
     minting by prefix sum over ``next_id``, instance-capacity clipping.
 
     votes_full: (M+1, Kcap+1) count matrix -- row M collects dropped
-    points, column Kcap collects unassigned points.
+    points, column Kcap collects unassigned points. ``Kcap`` may be an
+    ``active_cols`` bucket smaller than the store capacity (every assigned
+    id must then be < Kcap); ``mint_cap`` is the REAL store capacity that
+    bounds minting (defaults to Kcap).
 
     Returns (ins_of_mask (M,), n_new (), n_dropped (), unassigned_cnt (M,)).
     """
@@ -117,7 +121,7 @@ def mask_decisions(votes_full: Array, mask_valid: Array, next_id: Array,
     case_new = observed & ~case_track & (unassigned_cnt > track_th)
     new_rank = jnp.cumsum(case_new.astype(jnp.int32)) - 1
     new_id = next_id + new_rank
-    cap_ok = new_id < Kcap
+    cap_ok = new_id < (Kcap if mint_cap is None else mint_cap)
     dropped = jnp.sum((case_new & ~cap_ok).astype(jnp.int32))
     case_new = case_new & cap_ok
     ins_of_mask = jnp.where(case_track, mode_id,
@@ -201,7 +205,8 @@ def mask_level_tail(store: InstanceStore, ins_of_mask: Array, n_new: Array,
 @functools.partial(
     jax.jit,
     static_argnames=("match_distance_th", "track_th", "use_depth_filter",
-                     "unbounded_top_k", "rgb_depth_ratio", "active_rows"),
+                     "unbounded_top_k", "rgb_depth_ratio", "active_rows",
+                     "active_cols"),
     donate_argnums=(0, 1))  # map/instance buffers update in place on TPU
 def associate_keyframe(
     map_state: MapState,
@@ -220,6 +225,7 @@ def associate_keyframe(
     unbounded_top_k: bool = True,
     rgb_depth_ratio: Tuple[float, float, int] | None = None,
     active_rows: int | None = None,
+    active_cols: int | None = None,
 ) -> Tuple[MapState, InstanceStore, KeyframeMatch]:
     """One-program per-keyframe association (see module docstring).
 
@@ -288,13 +294,16 @@ def associate_keyframe(
     # ---- per-mask vote counts (replaces the _track_objects loop) ----
     # One-hot matmuls on the MXU instead of 2M-element scatter-adds (TPU
     # scatters serialize; the dense (M+1)x(K+1) vote matrix is tiny).
+    Kv = (active_cols if active_cols is not None and active_cols < Kcap
+          else Kcap)
     seg_row = jnp.where(seg >= 0, seg, M)  # M = dropped
     assigned = obj >= 0
-    vote_col = jnp.where(assigned & (seg >= 0), jnp.clip(obj, 0, Kcap - 1), Kcap)
-    votes_full = _vote_matmul(seg_row, vote_col, M, Kcap)  # (M+1, K+1) i32
+    vote_col = jnp.where(assigned & (seg >= 0), jnp.clip(obj, 0, Kv - 1), Kv)
+    votes_full = _vote_matmul(seg_row, vote_col, M, Kv)  # (M+1, Kv+1) i32
     # ---- decide each mask's instance (ovo.py:255-280) ----
     ins_of_mask, n_new, dropped, unassigned_cnt = mask_decisions(
-        votes_full, mask_valid, store.next_id, track_th, M, Kcap)
+        votes_full, mask_valid, store.next_id, track_th, M, Kv,
+        mint_cap=Kcap)
 
     # ---- write instance ids back to unassigned matched points ----
     point_ins = _mask_slot_lookup(seg, ins_of_mask, M)   # MXU, not gather
@@ -334,7 +343,8 @@ def mask_tail_program(store: InstanceStore, ins_of_mask: Array, n_new: Array,
     jax.jit,
     static_argnames=("match_distance_th", "track_th", "use_depth_filter",
                      "unbounded_top_k", "rgb_depth_ratio", "insert_match_th",
-                     "k_pooling", "downscale", "active_rows"),
+                     "k_pooling", "downscale", "active_rows",
+                     "active_cols"),
     donate_argnums=(0, 1))  # map/instance buffers update in place on TPU
 def associate_and_insert_keyframe(
     map_state: MapState,
@@ -357,6 +367,7 @@ def associate_and_insert_keyframe(
     k_pooling: int = 3,
     downscale: int = 2,
     active_rows: int | None = None,
+    active_cols: int | None = None,
 ) -> Tuple[MapState, InstanceStore, KeyframeMatch]:
     """Fused association + vanilla map insert for frames on both cadences.
 
@@ -382,6 +393,15 @@ def associate_and_insert_keyframe(
     (see associate_keyframe; caller guarantees active_rows >= count;
     appends still go to the full buffer, but the NEXT call's active_rows
     must cover the grown count).
+
+    ``active_cols``: static bucket bounding the vote matrix's instance
+    axis -- the one-hot vote matmul cost scales with it (a 1025-column
+    matrix for ~100 live instances is ~8x wasted MXU work). CALLER
+    CONTRACT: active_cols >= store.next_id at call time (so every
+    assigned point id fits a column); minted ids may exceed the bucket
+    within the call, so the NEXT call's bucket must cover the new
+    next_id. Results are bit-identical to the unbucketed program
+    (tests/test_association.py).
     """
     M = binary_maps.shape[0]
     Kcap = store.capacity
@@ -524,14 +544,20 @@ def associate_and_insert_keyframe(
         jnp.where(seg_n >= 0, seg_n, M), M + 1).astype(jnp.int32)
 
     # ---- votes: map points + the frame's own inserted points ----
+    # active_cols bounds the vote matrix's instance axis (the one-hot
+    # matmul cost scales with it); caller guarantees every assigned id
+    # < active_cols (see docstring)
+    Kv = (active_cols if active_cols is not None and active_cols < Kcap
+          else Kcap)
     seg_row = jnp.where(seg >= 0, seg, M)
     assigned = obj >= 0
-    vote_col = jnp.where(assigned & (seg >= 0), jnp.clip(obj, 0, Kcap - 1),
-                         Kcap)
-    votes_full = _vote_matmul(seg_row, vote_col, M, Kcap)
-    votes_full = votes_full.at[:, Kcap].add(hist_n)  # (M+1,) tiny update
+    vote_col = jnp.where(assigned & (seg >= 0), jnp.clip(obj, 0, Kv - 1),
+                         Kv)
+    votes_full = _vote_matmul(seg_row, vote_col, M, Kv)
+    votes_full = votes_full.at[:, Kv].add(hist_n)  # (M+1,) tiny update
     ins_of_mask, n_new, dropped, unassigned_cnt = mask_decisions(
-        votes_full, mask_valid, store.next_id, track_th, M, Kcap)
+        votes_full, mask_valid, store.next_id, track_th, M, Kv,
+        mint_cap=Kcap)
 
     point_ins = _mask_slot_lookup(seg, ins_of_mask, M)   # MXU, not gather
     update = (~assigned) & (point_ins >= 0)

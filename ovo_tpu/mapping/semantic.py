@@ -240,6 +240,12 @@ class SemanticMapper:
             self.store = inst.grow_instance_store(self.store, new_cap)
         t0 = time.time()
         ratio = tuple(rgb_depth_ratio) if len(rgb_depth_ratio) else None
+        # vote-matrix column bucket: next_id + the frame's max minting (M)
+        # always fits, so the one-hot vote matmul scales with LIVE
+        # instances, not capacity (power-of-2 -> a handful of recompiles)
+        a_cols = 1 << max(last_id + binary_maps.shape[0] - 1, 127)\
+            .bit_length()
+        a_cols = a_cols if a_cols < self.store.capacity else None
         if insert is not None:
             from .association import associate_and_insert_keyframe
 
@@ -259,7 +265,8 @@ class SemanticMapper:
                 insert_match_th=insert["insert_match_th"],
                 k_pooling=insert["k_pooling"],
                 downscale=insert["downscale"],
-                active_rows=insert.get("active_rows"))
+                active_rows=insert.get("active_rows"),
+                active_cols=a_cols)
         elif self.point_shard:
             from ..parallel.shard import sharded_associate_keyframe
             map_state, self.store, match = sharded_associate_keyframe(
@@ -280,7 +287,8 @@ class SemanticMapper:
                 match_distance_th=self.match_distance_th,
                 track_th=self.track_th,
                 use_depth_filter=self.use_depth_filter,
-                unbounded_top_k=self.unbounded_top_k, rgb_depth_ratio=ratio)
+                unbounded_top_k=self.unbounded_top_k, rgb_depth_ratio=ratio,
+                active_cols=a_cols)
 
         self._dropped_dev = self._dropped_dev + match.n_dropped_masks
         self.keyframes_queue.append(

@@ -105,11 +105,15 @@ def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
 def multi_head_attention(p: Params, x: Array, n_heads: int,
                          rope: Optional[Tuple[Array, Array]] = None,
                          causal: bool = False, kv: Optional[Array] = None,
-                         attn_impl: str = "auto") -> Array:
+                         attn_impl: str = "auto",
+                         n_valid: Optional[int] = None) -> Array:
     """Standard MHA with merged or split qkv params.
 
     p: {"qkv": {w,b}} or {"q": .., "k": .., "v": ..}, plus {"out": {w,b}}.
     x: (B, L, D); kv: optional (B, Lk, D) for cross attention.
+    ``n_valid``: when the caller pre-padded the token axis for the whole
+    tower, the real token count -- padded keys are masked out (kernel
+    kv_len, or an explicit mask on the fallback path).
     """
     B, L, D = x.shape
     hd = D // n_heads
@@ -129,7 +133,7 @@ def multi_head_attention(p: Params, x: Array, n_heads: int,
                                qkv.dtype.itemsize):
                 cos, sin = rope
                 o = rope_packed_attention(qkv, cos[:L], sin[:L],
-                                          heads=n_heads)
+                                          heads=n_heads, kv_len=n_valid)
                 return linear(p["out"], o)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if kv is not None:
@@ -149,7 +153,12 @@ def multi_head_attention(p: Params, x: Array, n_heads: int,
         cos, sin = rope
         q = apply_rope(q, cos[:L], sin[:L])
         k = apply_rope(k, cos[:Lk], sin[:Lk])
-    o = dot_product_attention(q, k, v, causal=causal, impl=attn_impl)
+    mask = None
+    if n_valid is not None and n_valid < Lk:
+        # fallback path with a pre-padded token stream: mask padded keys
+        mask = (jnp.arange(Lk) < n_valid)[None, None, None, :]
+    o = dot_product_attention(q, k, v, mask=mask, causal=causal,
+                              impl=attn_impl)
     o = o.transpose(0, 2, 1, 3).reshape(B, L, D)
     return linear(p["out"], o)
 
@@ -157,10 +166,12 @@ def multi_head_attention(p: Params, x: Array, n_heads: int,
 def transformer_block(p: Params, x: Array, n_heads: int,
                       rope: Optional[Tuple[Array, Array]] = None,
                       causal: bool = False, attn_impl: str = "auto",
-                      act: str = "gelu") -> Array:
+                      act: str = "gelu",
+                      n_valid: Optional[int] = None) -> Array:
     """Pre-LN block with optional LayerScale (p['ls1']/p['ls2'])."""
     h = multi_head_attention(p["attn"], layer_norm(p["ln1"], x), n_heads,
-                             rope=rope, causal=causal, attn_impl=attn_impl)
+                             rope=rope, causal=causal, attn_impl=attn_impl,
+                             n_valid=n_valid)
     if p.get("ls1") is not None:
         h = h * p["ls1"].astype(h.dtype)
     x = x + h

@@ -382,8 +382,9 @@ class AutomaticMaskSource:
 
     def get_masks(self, image, frame_id: int = None):
         # NOTE: jnp.asarray keeps device arrays on device (no host round
-        # trip); uint8 frames upload once and normalize on device
-        img = jnp.asarray(image).astype(jnp.float32) / 255.0
+        # trip); u8 frames normalize INSIDE the jitted program (fewer
+        # dispatches)
+        img = jnp.asarray(image)
         h, w = img.shape[:2]
         seg, bmaps, valid, stab = _amg_program(
             self.model.params, self.model.cfg, img, self.points,
@@ -399,7 +400,7 @@ class AutomaticMaskSource:
         per-keyframe semantics while roughly halving per-op overheads.
         images: (B, H, W, 3) uint8 -> (seg (B,H,W), bmaps (B,M,H,W),
         valid (B,M))."""
-        imgs = jnp.asarray(images).astype(jnp.float32) / 255.0
+        imgs = jnp.asarray(images)
         h, w = imgs.shape[1:3]
         fn = functools.partial(_amg_program, **self._amg_kwargs((h, w)))
         seg, bmaps, valid, stab = jax.vmap(
@@ -428,6 +429,11 @@ def _amg_program(params, cfg: SAMConfig, image: Array, points: Array, *,
                  gate_prompts=None, out_hw: Tuple[int, int]):
     model = SAMModel(cfg, params)
     h_in, w_in = image.shape[:2]
+    if image.dtype == jnp.uint8:
+        # normalize INSIDE the program: the eager astype/divide outside
+        # cost 1-2 extra device dispatches per keyframe (~0.23 ms each on
+        # this tunneled runtime)
+        image = image.astype(jnp.float32) / 255.0
     x = model.preprocess(image)
     image_embed, high_res = model.encode_image(x)
     # SAM1: grid prompts live in the original image's [0,1] box, which

@@ -174,6 +174,12 @@ def _mh_attention(p: Params, x: Array, heads: int, dout: int,
         Hq, Wq = qs.shape[1], qs.shape[2]
         q = qs.reshape(B, Hq * Wq, dout)
     hd = dout // heads
+    # NOTE: routing the window shapes through ops.attention.
+    # packed_heads_attention (heads sliced in-kernel, no transposes) was
+    # measured SLOWER in-context (t_sam 45.6 -> 46.6 ms): the heads
+    # transposes it deletes reappear as costlier qkv[:, :, i] slice /
+    # window-partition relayouts feeding the kernel's (B, L, dout) blocks.
+    # The kernel stays as a tested utility (PERF.md r5 negatives).
     qh = q.reshape(B, -1, heads, hd).transpose(0, 2, 1, 3)
     kh = k.reshape(B, -1, heads, hd).transpose(0, 2, 1, 3)
     vh = v.reshape(B, -1, heads, hd).transpose(0, 2, 1, 3)

@@ -53,7 +53,10 @@ class TextRegionEmbedder:
 
     # -- public embedder interface --------------------------------------
     def embed_masks(self, image, binary_maps, valid) -> Array:
-        img = jnp.asarray(image, jnp.float32) / 255.0
+        # u8 frames normalize INSIDE the jitted program (fewer dispatches)
+        img = jnp.asarray(image)
+        if img.dtype not in (jnp.uint8, jnp.float32):
+            img = img.astype(jnp.float32) / 255.0
         masks = jnp.asarray(binary_maps)
         return self._predict(img, masks)
 
@@ -62,7 +65,9 @@ class TextRegionEmbedder:
         binary_maps (B, M, H, W) -> (B, M, D). One program; the ViT sees
         B x (1 + crops) views, which roughly doubles MXU utilization at
         the per-keyframe batch sizes here."""
-        imgs = jnp.asarray(images, jnp.float32) / 255.0
+        imgs = jnp.asarray(images)
+        if imgs.dtype not in (jnp.uint8, jnp.float32):
+            imgs = imgs.astype(jnp.float32) / 255.0
         masks = jnp.asarray(binary_maps)
         return jax.vmap(self._predict)(imgs, masks)
 
@@ -102,6 +107,8 @@ def _textregion_program(params: Dict[str, Any], cfg, image: Array,
                         crop_num_w: int, remove_global: bool,
                         gp_threshold: float, project: bool) -> Array:
     h, w = image.shape[:2]
+    if image.dtype == jnp.uint8:
+        image = image.astype(jnp.float32) / 255.0
     patch_num = crop_size // patch_size
     n_prefix = 1 if cfg.use_cls_token else 0
 

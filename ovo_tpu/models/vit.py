@@ -157,9 +157,32 @@ def forward_features(params: Params, cfg: ViTConfig, imgs: Array,
                                         act=cfg.act, l_real=Lr)
         x = x[:, :Lr]
     else:
+        # pre-pad the token stream ONCE for the whole tower when the
+        # packed-RoPE kernel will run: padded rows stay row-local through
+        # LN/matmuls/residual (finite, never read), padded KEYS are masked
+        # per layer via n_valid, and the pad is sliced off at the end --
+        # deleting the per-layer qkv pads
+        n_valid = None
+        if rope is not None and attn_impl in ("auto", "fused"):
+            from ..ops.attention import use_rope_packed
+
+            Lr = x.shape[1]
+            hd = cfg.width // cfg.n_heads
+            if Lr % 8 and use_rope_packed(B * cfg.n_heads, Lr, hd,
+                                          cfg.n_heads, x.dtype.itemsize):
+                padn = (-Lr) % 8
+                x = jnp.concatenate(
+                    [x, jnp.zeros((B, padn, W), x.dtype)], axis=1)
+                pad_t = jnp.zeros((padn, rope[0].shape[-1]), rope[0].dtype)
+                rope = (jnp.concatenate([rope[0], pad_t]),
+                        jnp.concatenate([rope[1], pad_t]))
+                n_valid = Lr
         for blk in params["blocks"]:
             x = L.transformer_block(blk, x, cfg.n_heads, rope=rope,
-                                    attn_impl=attn_impl, act=cfg.act)
+                                    attn_impl=attn_impl, act=cfg.act,
+                                    n_valid=n_valid)
+        if n_valid is not None:
+            x = x[:, :n_valid]
     if norm:
         x = L.layer_norm(params["ln_post"], x)
     return x

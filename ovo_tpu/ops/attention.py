@@ -321,14 +321,19 @@ def use_rope_packed(bh: int, l: int, hd: int, heads: int,
             and rope_packed_vmem_bytes(l8, hd, itemsize) <= _VMEM_BUDGET)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "kv_len",
+                                             "interpret"))
 def rope_packed_attention(qkv: Array, cos: Array, sin: Array, *, heads: int,
                           scale: Optional[float] = None,
+                          kv_len: Optional[int] = None,
                           interpret: bool = False) -> Array:
     """(B, L, 3D) packed qkv projection + (L, hd/2) RoPE tables ->
     (B, L, D) attention output in token-major layout (see
     _rope_packed_kernel). Pads L to a sublane multiple internally; padded
-    keys are masked, padded query rows are sliced off."""
+    keys are masked, padded query rows are sliced off. A caller that
+    pre-pads the token stream ONCE for the whole tower passes ``kv_len`` =
+    the real token count instead (vit.forward_features) -- that deletes
+    the per-layer qkv pad (24 x 0.035 ms at the PE shape)."""
     B, L, three_d = qkv.shape
     D = three_d // 3
     hd = D // heads
@@ -341,10 +346,11 @@ def rope_packed_attention(qkv: Array, cos: Array, sin: Array, *, heads: int,
         cos = jnp.pad(cos, ((0, pad), (0, 0)))
         sin = jnp.pad(sin, ((0, pad), (0, 0)))
     l8 = L + pad
+    kv = kv_len if kv_len is not None else (L if pad else l8)
     nb = D // 128                        # 128-lane blocks per q/k/v section
     out = pl.pallas_call(
         functools.partial(_rope_packed_kernel, scale=scale,
-                          kv_len=L if pad else l8, hd=hd),
+                          kv_len=kv, hd=hd),
         grid=(B, heads // hpb),
         in_specs=[
             pl.BlockSpec((1, l8, 128), lambda b, j: (b, 0, j)),
@@ -431,6 +437,119 @@ def windowed_fused_attention(q: Array, k: Array, v: Array, *,
         interpret=interpret,
     )(qr, kr, vr)
     return out[:bh].reshape(b, h, lq, d)
+
+
+def _packed_heads_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
+                         scale: float, kv_len: int):
+    """Batched multi-head attention over a block of window instances with
+    the heads SLICED IN-KERNEL from the (wb, l, dout) head-packed layout
+    (dout = heads * hd, straight from the qkv projection slices). Replaces
+    the winfused route's (B, L, H, hd) -> (B, H, L, hd) transposes, which
+    cost ~3 ms/keyframe of layout-flip copies around the Hiera window
+    attention (ROOFLINE r5 trace)."""
+    q = q_ref[...]                                     # (wb, lq, dout)
+    k = k_ref[...]
+    v = v_ref[...]
+    dout = q.shape[-1]
+    hd = dout // heads
+    lk = k.shape[1]
+    outs = []
+    for h in range(heads):
+        qh = q[:, :, h * hd:(h + 1) * hd]
+        kh = k[:, :, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        if kv_len < lk:
+            ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(ids < kv_len, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v[:, :, h * hd:(h + 1) * hd], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype))
+    o_ref[...] = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def packed_heads_vmem_bytes(wb: int, lq: int, lk: int, dout: int,
+                            itemsize: int) -> int:
+    """Per-grid-step footprint of the head-packed window kernel (lane dims
+    round to 128; per-head intermediates budgeted x2 for liveness across
+    the unrolled head loop)."""
+    def lane(d):
+        return -(-d // 128) * 128
+
+    io = 2 * itemsize * wb * lane(dout) * (2 * lq + 2 * lk)
+    inter = 2 * wb * lq * lane(lk) * (4 + 4 + itemsize)
+    return io + inter
+
+
+def packed_heads_block(lq: int, lk: int, dout: int, itemsize: int,
+                       max_block: int = 128) -> Optional[int]:
+    """Largest window block (multiple of 8) that fits the VMEM budget;
+    None -> caller falls back to the transpose + winfused path."""
+    per = packed_heads_vmem_bytes(1, lq, lk, dout, itemsize)
+    wb = (_VMEM_BUDGET // per) // 8 * 8
+    if wb < 8:
+        return None
+    return min(wb, max_block)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def packed_heads_attention(q: Array, k: Array, v: Array, *, heads: int,
+                           scale: Optional[float] = None,
+                           interpret: bool = False) -> Array:
+    """(B, Lq, dout) x (B, Lk, dout) head-packed attention -> (B, Lq, dout)
+    (see _packed_heads_kernel). Pads Lq/Lk to sublane multiples (padded
+    keys masked, padded query rows garbage to slice) and B to the window
+    block (zero instances softmax to uniform -- no NaNs)."""
+    B, lq, dout = q.shape
+    lk = k.shape[1]
+    hd = dout // heads
+    scale = scale if scale is not None else hd ** -0.5
+    lqp = (-lq) % 8
+    lkp = (-lk) % 8
+    if lqp:
+        q = jnp.pad(q, ((0, 0), (0, lqp), (0, 0)))
+    if lkp:
+        k = jnp.pad(k, ((0, 0), (0, lkp), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lkp), (0, 0)))
+    wb = packed_heads_block(lq + lqp, lk + lkp, dout, q.dtype.itemsize)
+    assert wb is not None, "caller must gate on packed_heads_block"
+    wb = min(wb, -(-B // 8) * 8)
+    bp = (-B) % wb
+    if bp:
+        q = jnp.pad(q, ((0, bp), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, bp), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, bp), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_packed_heads_kernel, heads=heads, scale=scale,
+                          kv_len=lk),
+        grid=((B + bp) // wb,),
+        in_specs=[
+            pl.BlockSpec((wb, lq + lqp, dout), lambda i: (i, 0, 0)),
+            pl.BlockSpec((wb, lk + lkp, dout), lambda i: (i, 0, 0)),
+            pl.BlockSpec((wb, lk + lkp, dout), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((wb, lq + lqp, dout), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B + bp, lq + lqp, dout), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:B, :lq]
+
+
+def use_packed_heads(lq: int, lk: int, dout: int, heads: int,
+                     itemsize: int) -> bool:
+    """Dispatch predicate for packed_heads_attention."""
+    import os
+
+    if os.environ.get("OVO_NO_PALLAS") == "1" or not _on_tpu():
+        return False
+    if dout % heads or (dout // heads) % 8 or lq > 512 or lk > 512:
+        return False
+    lq8 = -(-lq // 8) * 8
+    lk8 = -(-lk // 8) * 8
+    return packed_heads_block(lq8, lk8, dout, itemsize) is not None
 
 
 def select_attention_route(bh: int, lq: int, lk: int, d: int, itemsize: int,

@@ -404,3 +404,41 @@ def test_fused_insert_accepts_presubsampled_colors(rng):
                                   np.asarray(s2.colors[:n]))
     np.testing.assert_array_equal(np.asarray(s1.obj_ids), np.asarray(s2.obj_ids))
     np.testing.assert_array_equal(np.asarray(m1.ins_ids), np.asarray(m2.ins_ids))
+
+
+def test_active_cols_bucket_bit_exact(rng):
+    """The vote-matrix column bucket (active_cols >= next_id) is
+    bit-identical to the unbucketed program, including minting past the
+    bucket within a call (the next call then uses a bigger bucket)."""
+    K, depth, seg, bmaps, valid = synthetic_frame(rng, n_masks=6)
+    c2w = np.eye(4, dtype=np.float32)
+    pts, uu, vv = points_from_depth(depth, K, c2w)
+    n = pts.shape[0]
+    obj0 = np.full(n, -1, np.int32)
+    obj0[:n // 3] = rng.integers(0, 3, n // 3)   # some pre-assigned ids < 8
+
+    def run(active_cols):
+        ms = init_map_state(4096)
+        ms = MapState(points=ms.points.at[:n].set(pts),
+                      point_ids=ms.point_ids.at[:n].set(
+                          np.arange(n, dtype=np.int32)),
+                      obj_ids=ms.obj_ids.at[:n].set(obj0),
+                      colors=ms.colors, count=jnp.asarray(n, jnp.int32),
+                      next_point_id=jnp.asarray(n, jnp.int32))
+        store = init_instance_store(K_CAP, clip_dim=8)
+        store = inst_mod.mint_instances(store, jnp.asarray(3, jnp.int32))
+        ms, store, match = association.associate_keyframe(
+            ms, store, jnp.asarray(seg), jnp.asarray(bmaps),
+            jnp.asarray(valid), jnp.asarray(depth), jnp.asarray(c2w),
+            jnp.asarray(K), jnp.asarray(0, jnp.int32),
+            match_distance_th=0.05, track_th=50,
+            active_cols=active_cols)
+        return (np.asarray(ms.obj_ids), np.asarray(match.ins_ids),
+                int(store.next_id))
+
+    ref = run(None)
+    # bucket of 8 (>= next_id 3): minted ids may exceed 8 -- still exact
+    got = run(8)
+    np.testing.assert_array_equal(ref[0], got[0])
+    np.testing.assert_array_equal(ref[1], got[1])
+    assert ref[2] == got[2]

@@ -446,3 +446,29 @@ def test_rope_packed_dispatch_gate():
             assert not att.use_rope_packed(112, 577, 64, 16, 2)
     with mock.patch.object(att, "_on_tpu", return_value=False):
         assert not att.use_rope_packed(112, 577, 64, 16, 2)
+
+
+def test_packed_heads_attention_matches_composed():
+    """packed_heads_attention (heads sliced in-kernel from the head-packed
+    layout) vs split -> transpose -> attention -> merge, incl. the q_pool
+    case (Lq != Lk) and odd lengths exercising the pads + kv mask."""
+    import jax.numpy as jnp
+    from ovo_tpu.ops.attention import packed_heads_attention, xla_attention
+
+    rng = np.random.default_rng(3)
+    for B, lq, lk, heads, dout in ((12, 49, 49, 2, 144), (5, 36, 196, 8, 64),
+                                   (9, 64, 64, 4, 288)):
+        hd = dout // heads
+        q = jnp.asarray(rng.standard_normal((B, lq, dout)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, lk, dout)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, lk, dout)), jnp.float32)
+
+        def heads_t(t, l):
+            return t.reshape(B, l, heads, hd).transpose(0, 2, 1, 3)
+
+        ref = xla_attention(heads_t(q, lq), heads_t(k, lk), heads_t(v, lk))
+        ref = ref.transpose(0, 2, 1, 3).reshape(B, lq, dout)
+        got = packed_heads_attention(q, k, v, heads=heads, interpret=True)
+        assert got.shape == (B, lq, dout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
