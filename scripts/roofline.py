@@ -43,6 +43,7 @@ H, W = 680, 1200
 M_MASKS = 96
 N_POINTS = 2 ** 21
 ACTIVE_ROWS = 2 ** 19   # the occupied bucket bench.py selects after warmup
+ACTIVE_COLS = 256       # the vote-column bucket bench.py selects (next_id=1)
 REPS = 4
 
 # TPU v5e (v5 lite) single-chip peaks: 197 bf16 TFLOP/s, 819 GB/s HBM
@@ -157,9 +158,14 @@ def stage_builders():
         seg = jnp.asarray(rng.integers(-1, M_MASKS, (H, W)).astype(np.int32))
         bmaps = jnp.asarray(seg[None] == jnp.arange(M_MASKS)[:, None, None])
         valid = jnp.ones((M_MASKS,), bool)
+        # NOTE the synthetic random seg maps mint far past ACTIVE_COLS
+        # (the bench's real AMG state stays at next_id=1); the vote cost
+        # is shape-determined, so the measured time still matches the
+        # shipped program
         kwargs = dict(match_distance_th=0.05, track_th=100,
                       use_depth_filter=True, unbounded_top_k=True,
-                      k_pooling=3, downscale=2, active_rows=ACTIVE_ROWS)
+                      k_pooling=3, downscale=2, active_rows=ACTIVE_ROWS,
+                      active_cols=ACTIVE_COLS)
         box = {"state": map_insert_frame(init_map_state(N_POINTS), img,
                                          depth, c2w, K),
                "store": init_instance_store(2 ** 10, 1024), "kf": 1}
@@ -280,30 +286,50 @@ def measure_chain(iters: int = 8) -> float:
     def probe(state, store):
         return store.desc_cnt[:8].sum() + state.count
 
+    # the bench's 3-program keyframe: AMG | assoc+prev-update+probe |
+    # TextRegion (bench.py assoc_update_probe)
+    import functools as _ft
+
+    @_ft.partial(jax.jit, donate_argnums=(0, 1))
+    def assoc_update_probe(state, store, seg, bmaps, valid, img_ds, kf,
+                           p_ins, p_descs, p_keep, p_kf):
+        store = inst.update_descriptors.__wrapped__(
+            store, p_ins, p_descs, p_kf, p_keep)
+        state, store, match = association.associate_and_insert_keyframe(
+            state, store, seg, bmaps, valid, img_ds, depth, c2w,
+            K, kf, match_distance_th=0.05,
+            track_th=100, use_depth_filter=True, unbounded_top_k=True,
+            k_pooling=3, downscale=2, active_rows=ACTIVE_ROWS,
+            active_cols=ACTIVE_COLS)
+        pr = store.desc_cnt[:8].sum() + state.count
+        return state, store, match, pr
+
+    pend = [(jnp.full((M_MASKS,), -1, jnp.int32),
+             jnp.zeros((M_MASKS, clip.cfg.clip_dim), jnp.float32),
+             jnp.zeros((M_MASKS,), jnp.bool_), jnp.asarray(-1, jnp.int32))]
+
     def step(state, store, kf):
         img = images[kf % 4]
         seg, bmaps, valid = amg.get_masks(img, kf)
-        state, store, match = association.associate_and_insert_keyframe(
-            state, store, seg, bmaps, valid, images_ds[kf % 4], depth, c2w,
-            K, jnp.asarray(kf, jnp.int32), match_distance_th=0.05,
-            track_th=100, use_depth_filter=True, unbounded_top_k=True,
-            k_pooling=3, downscale=2, active_rows=ACTIVE_ROWS)
+        kfd = jnp.asarray(kf, jnp.int32)
+        state, store, match, pr = assoc_update_probe(
+            state, store, seg, bmaps, valid, images_ds[kf % 4], kfd,
+            *pend[0])
         descs = embedder.embed_masks(img, match.fused_maps, match.keep)
-        store = inst.update_descriptors(
-            store, match.ins_ids, descs.astype(jnp.float32),
-            jnp.asarray(kf, jnp.int32), match.keep)
-        return state, store
+        pend[0] = (match.ins_ids, descs.astype(jnp.float32), match.keep,
+                   kfd)
+        return state, store, pr
 
     for w in range(2):  # compile + warm
-        state, store = step(state, store, w)
-        np.asarray(probe(state, store))
+        state, store, pr = step(state, store, w)
+        np.asarray(pr)
     t0 = time.time()
     prev = None
     for i in range(iters):
-        state, store = step(state, store, 2 + i)
+        state, store, pr = step(state, store, 2 + i)
         if prev is not None:
             np.asarray(prev)
-        prev = probe(state, store)
+        prev = pr
     np.asarray(prev)
     wall_ms = (time.time() - t0) / iters * 1e3
     final = int(np.asarray(state.count))
