@@ -108,6 +108,20 @@ class SemanticMapper:
         # overflow (zero whenever grow_instances is on); fetched only at
         # scene end / on demand so the hot path never syncs on it
         self._dropped_dev = jnp.zeros((), jnp.int32)
+        # async next_id mirror: the online hot path must NOT fetch
+        # store.next_id per keyframe (a fetch is a ~30 ms round trip on
+        # the tunneled TPU runtime AND serializes the device chain). After
+        # each association the post-assoc next_id is requested async and
+        # harvested one keyframe later; in between, the bound grows by M
+        # per keyframe (max minting). Growth checks and the active_cols
+        # bucket only need an UPPER bound, and the harvested value is
+        # deterministic, so compiled shapes stay reproducible.
+        self._nid_reqs: deque = deque()           # (device scalar, kf_at)
+        self._nid_known = (0, 0)                  # (next_id, kf_at)
+        # deferred empty-mask warnings (device mask sources, non-debug):
+        # the validity flag is checked one keyframe late instead of
+        # forcing a sync before association can even dispatch
+        self._valid_req: List[tuple] = []         # (frame_id, valid dev)
         self.frame_ids: List[int] = []    # kf_id -> dataset frame id
         self._time_cache: List[float] = []
         # per-(kf, instance) descriptor record for deleted-keyframe hygiene
@@ -186,15 +200,62 @@ class SemanticMapper:
             return self.flush_segmentation(map_state)
 
         t0 = time.time()
+        # upload the frame ONCE: the segmentation and the (deferred)
+        # embedder read the same pixels, and on this sandbox the
+        # host->device link is slow enough (~tens of ms per MB) that a
+        # duplicate 2.4 MB upload is measurable; jnp.asarray on an
+        # already-device array is free
+        image = jnp.asarray(image)
         seg_map, binary_maps, mask_valid = self.mask_source.get_masks(
             image, frame_id)
-        if seg_map is None or not bool(np.asarray(mask_valid).any()):
+        if seg_map is None:
             print(f"No mask segmented in {frame_id}!")
             return None
+        if isinstance(mask_valid, np.ndarray) or self.debug_info or self.log:
+            # host mask sources (and debug/log runs, which accept syncs):
+            # the reference's skip-on-empty check, exact
+            if not bool(np.asarray(mask_valid).any()):
+                print(f"No mask segmented in {frame_id}!")
+                return None
+        else:
+            # device mask source on the hot path: checking validity here
+            # would force a full sync of the AMG chain before association
+            # can dispatch. Proceed optimistically -- association with
+            # zero valid masks is a no-op on instance state (no votes, no
+            # mints, no id writes; the enqueued keyframe carries
+            # keep=False everywhere) -- and warn one keyframe late
+            # (_drain_async).
+            try:
+                mask_valid.copy_to_host_async()
+            except Exception:
+                pass
+            self._valid_req.append((frame_id, mask_valid))
         t_sam = time.time() - t0
         return self._associate(frame_id, image, depth, rgb_depth_ratio, c2w,
                                seg_map, binary_maps, mask_valid, map_state,
                                t_sam, insert=insert)
+
+    def _nid_upper_bound(self, m_masks: int) -> int:
+        """Host-known bound >= store.next_id with NO sync (see __init__
+        notes): last harvested value + m_masks per keyframe since. The
+        harvests happen in _drain_async AFTER a frame's dispatches, so
+        their round trips overlap device compute."""
+        nid, kf_at = self._nid_known
+        return nid + m_masks * (self.kf_id - kf_at)
+
+    def _drain_async(self) -> None:
+        """Harvest async values from PREVIOUS keyframes (their chains are
+        done or nearly; the fetch round trip overlaps the just-dispatched
+        frame's device work). The newest nid request stays pending -- its
+        chain was dispatched this frame and fetching it would sync."""
+        while len(self._nid_reqs) > 1:
+            arr, kf_at = self._nid_reqs.popleft()
+            if kf_at > self._nid_known[1]:
+                self._nid_known = (int(np.asarray(arr)), kf_at)
+        for frame_id, valid in self._valid_req:
+            if not bool(np.asarray(valid).any()):
+                print(f"No mask segmented in {frame_id}!")
+        self._valid_req = []
 
     def flush_segmentation(self, map_state: MapState) -> Optional[MapState]:
         """Segment all buffered keyframes in one batched SAM program, then
@@ -224,27 +285,33 @@ class SemanticMapper:
                    seg_map, binary_maps, mask_valid, map_state,
                    t_sam, insert: Optional[Dict[str, Any]] = None
                    ) -> Optional[MapState]:
-        last_id = int(self.store.next_id)
+        M = binary_maps.shape[0]
+        if self.log and self.logger is not None:
+            last_id = int(self.store.next_id)    # exact, for the stats
+            nid_ub = last_id
+            self._nid_reqs.clear()
+            self._nid_known = (last_id, self.kf_id)
+        else:
+            last_id = None
+            nid_ub = self._nid_upper_bound(M)
         # Preemptive growth: a keyframe can mint at most M instances, so
         # growing whenever next_id + M could cross capacity guarantees the
         # association program NEVER drops a mask to capacity overflow
-        # (reference minting is unbounded, ovo.py:271-276).
-        if (self.grow_instances
-                and last_id + binary_maps.shape[0] > self.store.capacity):
+        # (reference minting is unbounded, ovo.py:271-276). nid_ub >=
+        # next_id, so the bound only ever grows EARLIER.
+        if self.grow_instances and nid_ub + M > self.store.capacity:
             new_cap = max(self.store.capacity * 2,
-                          1 << (last_id + binary_maps.shape[0] - 1)
-                          .bit_length())
+                          1 << (nid_ub + M - 1).bit_length())
             print(f"[semantic] growing instance store "
                   f"{self.store.capacity} -> {new_cap} "
-                  f"(next_id={last_id})")
+                  f"(next_id<={nid_ub})")
             self.store = inst.grow_instance_store(self.store, new_cap)
         t0 = time.time()
         ratio = tuple(rgb_depth_ratio) if len(rgb_depth_ratio) else None
         # vote-matrix column bucket: next_id + the frame's max minting (M)
         # always fits, so the one-hot vote matmul scales with LIVE
         # instances, not capacity (power-of-2 -> a handful of recompiles)
-        a_cols = 1 << max(last_id + binary_maps.shape[0] - 1, 127)\
-            .bit_length()
+        a_cols = 1 << max(nid_ub + M - 1, 127).bit_length()
         a_cols = a_cols if a_cols < self.store.capacity else None
         if insert is not None:
             from .association import associate_and_insert_keyframe
@@ -291,6 +358,14 @@ class SemanticMapper:
                 active_cols=a_cols)
 
         self._dropped_dev = self._dropped_dev + match.n_dropped_masks
+        # COPY the scalar out of the store pytree: later calls donate the
+        # store, which deletes its buffers -- a stashed view would die
+        nid_dev = jnp.copy(self.store.next_id)
+        try:
+            nid_dev.copy_to_host_async()
+        except Exception:
+            pass
+        self._nid_reqs.append((nid_dev, self.kf_id))
         self.keyframes_queue.append(
             dict(ins_ids=match.ins_ids, keep=match.keep,
                  fused_maps=match.fused_maps, image=image, kf_id=self.kf_id))
@@ -322,6 +397,7 @@ class SemanticMapper:
                 print(f"WARNING: {dropped} masks dropped at instance "
                       f"capacity {self.store.capacity} in frame {frame_id}")
             self.logger.log_ovo_stats(stats, print_output=True)
+        self._drain_async()
         return map_state
 
     def n_dropped_masks_total(self) -> int:
@@ -362,9 +438,18 @@ class SemanticMapper:
                     self.store, kf["ins_ids"],
                     jnp.asarray(kf["kf_id"], jnp.int32))
             keeps.append(keep)
-        any_keep = [bool(np.asarray(k).any()) for k in keeps]
-        if not any(any_keep):
-            return
+        if self.debug_info or self.log or self.unbounded_top_k is False:
+            # debug/log runs (syncs acceptable) and bounded-top-k gating
+            # keep the exact skip-on-empty check
+            any_keep = [bool(np.asarray(k).any()) for k in keeps]
+            if not any(any_keep):
+                return
+        else:
+            # hot path: checking keep here forces a sync on the popped
+            # keyframe's association chain. Embed optimistically -- rows
+            # with keep=False are dropped by update_descriptors, so an
+            # (extremely rare) all-empty keyframe just wastes one embed.
+            any_keep = [True] * len(keeps)
 
         t0 = time.time()
         use_batch = (len(kfs) > 1

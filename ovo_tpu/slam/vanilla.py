@@ -82,10 +82,16 @@ class VanillaMapper:
 
     def post_insert(self) -> None:
         """Bookkeeping after an insert landed in self.state (map() or the
-        pipeline's fused associate+insert): kick off an async fetch of the
-        device count so count_upper_bound() tightens one frame later."""
+        pipeline's fused associate+insert): harvest the PREVIOUS async
+        count (its chain is done; the fetch round trip overlaps the
+        just-dispatched frame's device work), then request this one.
+        count_upper_bound() itself never syncs."""
+        if self._count_req is not None:
+            arr, n = self._count_req
+            self._count_known = (int(np.asarray(arr)), n)
         self._n_inserts += 1
-        c = self.state.count
+        # COPY the scalar: the next insert donates the state buffers
+        c = jnp.copy(self.state.count)
         try:
             c.copy_to_host_async()
         except Exception:
@@ -94,13 +100,8 @@ class VanillaMapper:
 
     def count_upper_bound(self) -> int:
         """A host-known bound with count_upper_bound() >= device count,
-        tight to one frame's pixels: the last harvested async count plus
-        worst-case headroom for each insert since."""
-        if self._count_req is not None:
-            arr, n = self._count_req
-            # ready by now in steady state (requested >= 1 frame ago)
-            self._count_known = (int(np.asarray(arr)), n)
-            self._count_req = None
+        tight to ~two frames' pixels: the last harvested async count plus
+        worst-case headroom for each insert since (no sync here)."""
         c, n = self._count_known
         return c + (self._n_inserts - n) * self._last_headroom
 
