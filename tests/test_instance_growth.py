@@ -108,3 +108,55 @@ def test_fixed_capacity_counts_drops():
     assert int(sm.store.next_id) == 4
     # 18 candidate mints - 4 capacity = 14 masks dropped, all counted
     assert sm.n_dropped_masks_total() == 14
+
+
+def test_optimistic_empty_mask_keyframe(capsys):
+    """Device mask sources skip the pre-association validity sync (the
+    r5 online de-sync): a keyframe with ZERO valid masks still dispatches
+    association, which must be a no-op on instance state, and the
+    'No mask segmented' warning surfaces one keyframe late via
+    _drain_async."""
+    sm = _make_mapper(16, grow=True)
+    rng = np.random.default_rng(1)
+    K, depth, seg, bmaps, valid = synthetic_frame(rng, n_masks=6)
+    c2w = np.eye(4, dtype=np.float32)
+    pts, _, _ = points_from_depth(depth, K, c2w)
+    n = pts.shape[0]
+    ms = init_map_state(4096)
+    ms = MapState(points=ms.points.at[:n].set(pts),
+                  point_ids=ms.point_ids.at[:n].set(
+                      np.arange(n, dtype=np.int32)),
+                  obj_ids=ms.obj_ids, colors=ms.colors,
+                  count=jnp.asarray(n, jnp.int32),
+                  next_point_id=jnp.asarray(n, jnp.int32))
+    img = np.zeros((H, W, 3), np.uint8)
+
+    class EmptyMaskSource:
+        def get_masks(self, image, frame_id):
+            # jnp (device-typed) outputs -> the optimistic branch
+            return (jnp.full((H, W), -1, jnp.int32),
+                    jnp.zeros((M_MAX, H, W), bool),
+                    jnp.zeros((M_MAX,), bool))
+
+    sm.mask_source = EmptyMaskSource()
+    out = sm.detect_and_track_objects((0, img, depth, ()), ms, c2w)
+    assert out is not None              # optimistic: association ran
+    assert int(sm.store.next_id) == 0   # ...as a no-op (nothing minted)
+    assert not np.asarray(sm.store.active).any()
+    assert len(sm.keyframes_queue) == 1
+    # warning is deferred to the next keyframe's drain
+    sm.mask_source = None
+    valid_dev = jnp.asarray(valid)
+    out2 = sm._associate(1, img, depth, (), c2w, jnp.asarray(seg),
+                         jnp.asarray(bmaps), valid_dev, out, 0.0)
+    assert out2 is not None
+    assert "No mask segmented in 0!" in capsys.readouterr().out
+    # the empty keyframe flows through the CLIP queue as a no-op too
+    class NullEmbedder:
+        clip_dim = 8
+        def embed_masks(self, image, maps, keep):
+            return jnp.zeros((maps.shape[0], 8), jnp.float32)
+    sm.embedder = NullEmbedder()
+    sm.complete_semantic_info()
+    assert int(sm.store.desc_cnt.sum()) == int(
+        np.asarray(sm.store.desc_cnt[:18]).sum())  # finite, no crash
